@@ -1,0 +1,107 @@
+"""Runtime render configuration.
+
+The reference renderer hard-codes most knobs as compile-time ``#define``s in
+``RenderEngine/config.h`` (max depths, RR start, epsilons, photon budget) and
+``renderer/OptixRenderer.cpp:39-53`` (photon/grid/LVC capacities).  In the TPU
+build every one of those becomes a runtime field of :class:`RenderConfig`,
+consumed as a static (hashable) argument by the jitted render steps.
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+class RenderMethod(enum.IntEnum):
+    """Render methods (reference: RenderEngine/renderer/RenderMethod.h:11-19)."""
+
+    PATH_TRACING = 0
+    PROGRESSIVE_PHOTON_MAPPING = 1
+    VCM_BIDIRECTIONAL_PATH_TRACING = 2
+
+
+class PhotonMapStructure(enum.IntEnum):
+    """Photon map acceleration structure (reference: config.h:17-21)."""
+
+    SORTED_UNIFORM_GRID = 0  # reference ACCELERATION_STRUCTURE_UNIFORM_GRID
+    STOCHASTIC_HASH = 1      # reference ACCELERATION_STRUCTURE_STOCHASTIC_HASH
+
+
+class Intersector(enum.IntEnum):
+    """Ray-scene intersection backend."""
+
+    AUTO = 0         # bruteforce for small scenes, BVH otherwise
+    BRUTEFORCE = 1   # dense rays x triangles; ideal on MXU/VPU for small scenes
+    BVH = 2          # flattened BVH, leaf-cluster wavefront traversal
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """All render-time knobs. Hashable so it can be a static jit argument."""
+
+    width: int = 512
+    height: int = 512
+    render_method: RenderMethod = RenderMethod.PATH_TRACING
+
+    # --- path depths (reference config.h:33-37) ---
+    max_radiance_trace_depth: int = 9     # MAX_RADIANCE_TRACE_DEPTH
+    max_photon_trace_depth: int = 7       # MAX_PHOTON_TRACE_DEPTH
+    photon_rr_start_depth: int = 3        # PHOTON_TRACING_RR_START_DEPTH
+    path_rr_start_depth: int = 3          # PATH_TRACING_RR_START_DEPTH
+
+    # --- path tracing (reference pt/RayGeneratorPT.cu:67-69) ---
+    pt_direct_light_sampling: bool = True
+    pt_max_segments_nee: int = 5          # numPaths with NEE
+    pt_max_segments_no_nee: int = 10      # numPaths without NEE
+    pt_shadow_samples: int = 1
+
+    # --- PPM (reference OptixRenderer.cpp:39-53, config.h:23-27) ---
+    photons_per_iteration: int = 1 << 20          # 1024x1024 launch
+    max_photon_deposits_per_emitted: int = 4      # MAX_PHOTONS_DEPOSITS_PER_EMITTED
+    photon_grid_resolution: int = 100             # PHOTON_GRID_MAX_SIZE per axis
+    photon_map_structure: PhotonMapStructure = PhotonMapStructure.SORTED_UNIFORM_GRID
+    stochastic_hash_size_log2: int = 22           # 4M-entry hash table fallback
+    ppm_alpha: float = 2.0 / 3.0                  # Knaus-Zwicker alpha
+    ppm_initial_radius: float = 0.20              # Gui/Application.cpp:41 default
+    ppm_default_radius_from_scene: bool = True    # IScene.cpp:23-30 heuristic
+    ppm_direct_shadow_samples: int = 4            # DirectRadianceEstimation.cu
+    gather_max_photons_per_cell: int = 32         # TPU fixed-budget cell scan
+
+    # --- VCM (reference OptixRenderer.cpp:53, vcm/*) ---
+    vcm_max_path_length: int = 10                 # VCM_MAX_PATH_LENGTH
+    vcm_use_vc: bool = True                       # vertex connection on
+    vcm_use_vm: bool = False                      # merging scaffolded-off, like ref
+    # ablation switches (reference vcm.h:34-37 compile-time defines)
+    vcm_connect_vertices: bool = True             # !CONNECT_VERTICES_DISABLED
+    vcm_connect_camera_t1: bool = True            # !CONNECT_CAMERA_T1_DISABLED
+    vcm_connect_light_s0: bool = True             # !CONNECT_LIGHT_S0_DISABLED
+    vcm_connect_light_s1: bool = True             # !CONNECT_LIGHT_S1_DISABLED
+
+    # --- epsilons (reference config.h:41-43) ---
+    ray_len_min: float = 1e-4                     # RAY_LEN_MIN
+    eps_cosine: float = 1e-6                      # EPS_COSINE
+    eps_ray: float = 1e-3                         # EPS_RAY
+
+    # --- intersection backend ---
+    intersector: Intersector = Intersector.AUTO
+    bruteforce_max_tris: int = 4096       # AUTO switches to BVH above this
+    bvh_leaf_size: int = 16               # triangles per BVH leaf cluster
+    bvh_max_stack: int = 48               # traversal stack depth bound
+
+    # --- output (reference Gui/Application.cpp:36-40) ---
+    gamma: float = 2.2
+
+    # --- numerics ---
+    use_pallas: bool = False              # enable Pallas kernels (TPU hot paths)
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def n_pixels(self) -> int:
+        return self.width * self.height
+
+    @property
+    def pt_max_segments(self) -> int:
+        return (self.pt_max_segments_nee if self.pt_direct_light_sampling
+                else self.pt_max_segments_no_nee)
