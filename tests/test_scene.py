@@ -1,0 +1,76 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from oppositerenderer_tpu.scene import (CornellSmallConfig, EMITTER, GLASS,
+                                        MIRROR, get_scene_by_name,
+                                        make_cornell, make_cornell_small)
+
+
+def test_cornell_build():
+    scene, cam = make_cornell()
+    g = scene.geometry
+    # 5 walls + 1 light = 6 parallelograms = 12 triangles
+    assert g.n_triangles == 12
+    assert g.n_spheres == 0
+    assert scene.lights.n_lights == 1
+    np.testing.assert_allclose(np.asarray(scene.aabb_min), -5.0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(scene.aabb_max),
+                               [561.0, 553.8, 564.2], atol=0.2)
+    # camera matches reference default
+    np.testing.assert_allclose(np.asarray(cam.eye), [278, 273, -850])
+    # emitter material linked to light 0
+    em = int(jnp.argmax((scene.materials.kind == EMITTER)))
+    assert int(scene.materials.light_index[em]) == 0
+    # Lemit = power * invArea / pi
+    inv_area = 1.0 / (105.0 * 130.0)
+    np.testing.assert_allclose(np.asarray(scene.materials.emission[em]),
+                               np.asarray([0.5e6, 0.4e6, 0.2e6]) * inv_area
+                               / np.pi, rtol=1e-5)
+
+
+def test_cornell_small_default():
+    scene, cam = make_cornell_small()
+    # 5 walls + 10 block faces + light = 16 parallelograms = 32 tris
+    assert scene.geometry.n_triangles == 32
+    assert float(scene.lights.power[0, 0]) == pytest.approx(19.661107)
+    # initial PPM radius heuristic is positive and small
+    r = scene.initial_ppm_radius_estimate()
+    assert 0 < r < 1
+
+
+def test_cornell_small_spheres_variant():
+    scene, cam = get_scene_by_name("CornellSmallLargeSphere")
+    assert scene.geometry.n_spheres == 1
+    kind = int(scene.materials.kind[int(scene.geometry.sph_mat[0])])
+    assert kind == MIRROR
+    scene2, _ = get_scene_by_name("CornellSmallSmallSpheres")
+    assert scene2.geometry.n_spheres == 2
+    kinds = {int(scene2.materials.kind[int(m)])
+             for m in scene2.geometry.sph_mat}
+    assert kinds == {GLASS, MIRROR}
+    # point-light variant has no emitter geometry
+    assert bool(scene2.lights.is_delta[0])
+
+
+def test_distant_light_open_ceiling():
+    scene, _ = get_scene_by_name("CornellSmallPointDistant")
+    # ceiling removed: 4 walls + 2 spheres; light above the box
+    assert float(scene.lights.position[0, 1]) == pytest.approx(7.25)
+
+
+def test_factory_all_names():
+    for name in ["Cornell", "CornellSmall", "CornellSmallNoBlocks",
+                 "CornellSmallLargeSphere", "CornellSmallSmallSpheres",
+                 "CornellSmallLightUpwards", "CornellSmallPointDistant",
+                 "CornellSmallPointTest"]:
+        scene, cam = get_scene_by_name(name)
+        assert scene.geometry.n_triangles > 0
+        assert scene.lights.n_lights >= 1
+
+
+def test_bounding_sphere():
+    scene, _ = make_cornell_small()
+    c, r = scene.bounding_sphere
+    np.testing.assert_allclose(np.asarray(c), 1.25, atol=1e-5)
+    assert float(r) == pytest.approx(np.sqrt(3) * 1.35, rel=1e-4)
