@@ -1,0 +1,60 @@
+"""Shared wavefront machinery for all integrators.
+
+The reference dispatches per-material OptiX hit programs; here every lane
+builds the same dense composite BSDF from the material table
+(scene/types.MaterialTable.bsdf_coefficients) with the glass inside-hit
+normal flip + IOR swap of Glass.cu:261-264 applied vectorially.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..bsdf import BSDF
+from ..core.math import Array, dot
+from ..scene.types import EMITTER, GLASS, Scene
+from ..accel.intersect import Hit
+
+
+def scene_epsilon(scene: Scene) -> Array:
+    """Self-intersection offset scaled to the scene (the reference's fixed
+    1e-4 works for the 2.5-unit box but is marginal at Cornell's 556 units).
+    Traced-safe: returns a scalar Array."""
+    diag = jnp.linalg.norm(scene.aabb_max - scene.aabb_min)
+    return jnp.maximum(1e-4, 2e-5 * diag)
+
+
+def bsdf_at_hit(scene: Scene, hit: Hit, incoming_dir: Array,
+                ) -> tuple[BSDF, Array, Array]:
+    """Build the per-lane BSDF at hit points.
+
+    ``incoming_dir`` is the ray direction (pointing AT the surface).
+    Returns (bsdf, is_emitter, emitter_radiance) where emitter_radiance is
+    Lemit on front-face emitter hits else 0 (DiffuseEmitter.cu:40-52).
+    """
+    mats = scene.materials
+    kind = mats.kind[hit.mat]
+    kd, ks, exponent, kr, kt, ior, kr_diel = \
+        mats.bsdf_coefficients(hit.mat)
+
+    # glass hit from inside: flip normals, swap IOR pair (Glass.cu:261-264)
+    from_outside = dot(hit.ng, incoming_dir) < 0.0
+    flip = (kind == GLASS) & ~from_outside
+    ns = jnp.where(flip[..., None], -hit.ns, hit.ns)
+    ng = jnp.where(flip[..., None], -hit.ng, hit.ng)
+    ior_eff = jnp.where(flip, 1.0 / ior, ior)
+
+    bsdf = BSDF.make(ns, ng, -incoming_dir, kd, ks, exponent, kr, kt,
+                     ior_eff, kr_diel)
+
+    is_emitter = kind == EMITTER
+    lemit = mats.emission[hit.mat]
+    front = dot(hit.ns, -incoming_dir) > 0.0
+    emitter_radiance = jnp.where((is_emitter & front)[..., None], lemit, 0.0)
+    return bsdf, is_emitter, emitter_radiance
+
+
+def pixel_coords(width: int, height: int):
+    """Flattened pixel index grids [H*W]."""
+    py, px = jnp.meshgrid(jnp.arange(height), jnp.arange(width),
+                          indexing="ij")
+    return px.reshape(-1), py.reshape(-1)
