@@ -65,7 +65,7 @@ class RenderConfig:
     ppm_initial_radius: float = 0.20              # Gui/Application.cpp:41 default
     ppm_default_radius_from_scene: bool = True    # IScene.cpp:23-30 heuristic
     ppm_direct_shadow_samples: int = 4            # DirectRadianceEstimation.cu
-    gather_max_photons_per_cell: int = 32         # TPU fixed-budget cell scan
+    gather_max_photons_per_cell: int = 64         # TPU fixed-budget cell scan
 
     # --- VCM (reference OptixRenderer.cpp:53, vcm/*) ---
     vcm_max_path_length: int = 10                 # VCM_MAX_PATH_LENGTH

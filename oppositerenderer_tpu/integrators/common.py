@@ -58,3 +58,38 @@ def pixel_coords(width: int, height: int):
     py, px = jnp.meshgrid(jnp.arange(height), jnp.arange(width),
                           indexing="ij")
     return px.reshape(-1), py.reshape(-1)
+
+
+def nee_direct(scene: Scene, bsdf: BSDF, position: Array, active: Array,
+               sampler, n_samples: int, eps) -> Array:
+    """Next-event estimation at surface points: ``n_samples`` shadow rays to
+    uniformly picked lights, averaged (pt/RayGeneratorPT.cu:88-100 and
+    ppm/DirectRadianceEstimation.cu:49-71 — with the BSDF f applied instead
+    of raw albedo; see lights.light_contribution docstring).
+
+    Returns the direct radiance [N,3] (throughput NOT applied).
+    """
+    from ..core.math import max3
+    from ..lights import light_contribution
+    from ..accel.intersect import occluded
+
+    n = position.shape[0]
+    n_lights = scene.lights.n_lights
+    nee_ok = active & ~bsdf.is_specular()
+    direct = jnp.zeros((n, 3), jnp.float32)
+    for _ in range(n_samples):
+        li = jnp.minimum((sampler.next1((n,)) * n_lights).astype(jnp.int32),
+                         n_lights - 1)
+        rows = scene.lights.row(li)
+        contrib, point_on_light, dist = light_contribution(
+            rows, position, bsdf.frame.n, sampler.next2((n,)))
+        dir_l = (point_on_light - position) \
+            / jnp.maximum(dist, 1e-20)[:, None]
+        f, _, _, _ = bsdf.f(dir_l)
+        worth = nee_ok & (max3(contrib) > 0.0) & (max3(f) > 0.0)
+        occ = occluded(scene, position, dir_l, jnp.full((n,), 1.0) * eps,
+                       jnp.maximum(dist - 2 * eps, eps))
+        vis = worth & ~occ
+        direct = direct + jnp.where(vis[:, None], f * contrib * n_lights,
+                                    0.0)
+    return direct / n_samples

@@ -1,0 +1,316 @@
+"""Progressive photon mapping (wavefront).
+
+Pass schedule per iteration matches OptixRenderer::renderNextIteration for
+PPM (``renderer/OptixRenderer.cpp:569-672``):
+
+1. eye pass  — trace radiance rays, walk specular chains, store hitpoints
+               (``ppm/RayGeneratorPPM.cu``; material programs fill Hitpoint)
+2. photon pass — emit cfg.photons_per_iteration photons, deposit <=
+               cfg.max_photon_deposits_per_emitted per path at non-specular
+               hits from depth>=1, RR from depth 3
+               (``ppm/PhotonGenerator.cu``, ``material/Diffuse.cu:92-131``)
+3. grid build — sorted uniform grid (photon_map.build_photon_grid)
+4. indirect estimation — kernel-weighted gather at hitpoints
+               (``ppm/IndirectRadianceEstimation.cu``)
+5. direct estimation — 4 shadow samples at hitpoints; emitter/miss pixels
+               pass stored radiance through
+               (``ppm/DirectRadianceEstimation.cu``)
+6. output — direct + indirect accumulated by the caller's Film
+               (``ppm/Output.cu:32-37``)
+
+The Knaus-Zwicker radius comes in per iteration from the host
+(renderer.ppm_radius_sq_at_iteration), like the reference computes it on the
+host per frame.
+
+Deliberate fixes vs the reference (documented): photon emission from area
+lights is cosine-distributed (exact for Lambertian emitters; the reference
+uses uniform-hemisphere without reweighting, PhotonGenerator.cu:48-52), the
+gather applies the BRDF kd/pi (reference multiplies kd only), and the
+emitter display clamp ``min(radiance, 1)`` (DirectRadianceEstimation.cu:38)
+is dropped.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..accel.intersect import intersect
+from ..camera import Camera
+from ..config import PhotonMapStructure, RenderConfig
+from ..core.math import Array, dot, max3
+from ..core.rng import Sampler, iteration_key
+from ..core.sampling import (sample_cone, sample_disc, sample_unit_sphere,
+                             sample_unit_hemisphere_cos)
+from ..lights import AREA, POINT, SPOT
+from ..photon_map import (PhotonBatch, build_photon_grid,
+                          build_stochastic_hash, gather_photons,
+                          gather_stochastic_hash)
+from ..scene.types import Scene
+from .common import bsdf_at_hit, nee_direct, pixel_coords, scene_epsilon
+
+PASS_PPM_EYE = 1
+PASS_PPM_PHOTON = 2
+PASS_PPM_ESTIMATE = 3
+BIG = 1e30
+
+
+@struct.dataclass
+class HitpointBuffer:
+    """Per-pixel first-non-specular-hit record (renderer/Hitpoint.h:9-18 +
+    enough to rebuild the BSDF for direct/indirect estimation)."""
+
+    position: Array     # [N,3]
+    wo: Array           # [N,3] direction back toward the previous vertex
+    attenuation: Array  # [N,3] specular-chain throughput
+    radiance: Array     # [N,3] emitter radiance picked up on the walk
+    mat: Array          # [N] material id at the stored hit
+    ns: Array           # [N,3] shading normal
+    ng: Array           # [N,3] geometric normal
+    found: Array        # [N] bool: stored a non-specular hit
+    # flags mirroring RadiancePRD bits
+    hit_emitter: Array  # [N]
+    specular_chain: Array  # [N] passed through >=1 specular vertex
+
+
+# ---------------------------------------------------------------------------
+# 1. eye pass
+# ---------------------------------------------------------------------------
+
+def trace_eye_pass(scene: Scene, camera: Camera, cfg: RenderConfig,
+                   key: Array, eps) -> HitpointBuffer:
+    W, H = cfg.width, cfg.height
+    n = W * H
+    s = Sampler(key)
+    px, py = pixel_coords(W, H)
+    o, d = camera.generate_rays(px, py, s.next2((n,)), W, H,
+                                dof_u=s.next2((n,)))
+
+    hp = HitpointBuffer(
+        position=jnp.zeros((n, 3)), wo=jnp.zeros((n, 3)),
+        attenuation=jnp.ones((n, 3)), radiance=jnp.zeros((n, 3)),
+        mat=jnp.zeros((n,), jnp.int32), ns=jnp.zeros((n, 3)),
+        ng=jnp.zeros((n, 3)), found=jnp.zeros((n,), jnp.bool_),
+        hit_emitter=jnp.zeros((n,), jnp.bool_),
+        specular_chain=jnp.zeros((n,), jnp.bool_))
+    walking = jnp.ones((n,), jnp.bool_)
+
+    for depth in range(cfg.max_radiance_trace_depth):
+        skey = Sampler(jax.random.fold_in(key, 1000 + depth))
+        hit = intersect(scene, o, d, jnp.full((n,), 1.0) * eps,
+                        jnp.full((n,), BIG))
+        live = walking & hit.hit
+        bsdf, is_emitter, emitter_rad = bsdf_at_hit(scene, hit, d)
+        is_spec = bsdf.is_specular() & ~is_emitter
+
+        # emitter: pick up radiance, stop (DiffuseEmitter.cu:40-52)
+        em = live & is_emitter
+        hp = hp.replace(
+            radiance=hp.radiance + jnp.where(
+                em[:, None], hp.attenuation * emitter_rad, 0.0),
+            hit_emitter=hp.hit_emitter | em)
+
+        # non-specular: store hitpoint, stop (Diffuse.cu:71-88)
+        store = live & ~is_emitter & ~is_spec
+        sel = store[:, None]
+        hp = hp.replace(
+            position=jnp.where(sel, hit.position, hp.position),
+            wo=jnp.where(sel, -d, hp.wo),
+            mat=jnp.where(store, hit.mat, hp.mat),
+            ns=jnp.where(sel, bsdf.frame.n, hp.ns),
+            ng=jnp.where(sel, bsdf.ng, hp.ng),
+            found=hp.found | store)
+
+        # specular: continue the walk (Mirror.cu:52-64, Glass.cu:90-140)
+        cont = live & is_spec
+        res = bsdf.sample(skey.next3((n,)))
+        w = res.f * (res.cos_theta / jnp.maximum(res.pdf_w, 1e-20))[:, None]
+        hp = hp.replace(
+            attenuation=jnp.where(cont[:, None] & res.valid[:, None],
+                                  hp.attenuation * w, hp.attenuation),
+            specular_chain=hp.specular_chain | cont)
+        o = jnp.where(cont[:, None], hit.position, o)
+        d = jnp.where(cont[:, None], res.world_dir, d)
+        walking = cont & res.valid
+
+    return hp
+
+
+# ---------------------------------------------------------------------------
+# 2. photon pass
+# ---------------------------------------------------------------------------
+
+def emit_photons(scene: Scene, n_photons: int, s: Sampler):
+    """PhotonGenerator.cu:41-129. Returns (origin, dir, power [N,3])."""
+    n_lights = scene.lights.n_lights
+    center, radius = scene.bounding_sphere
+    li = jnp.minimum((s.next1((n_photons,)) * n_lights).astype(jnp.int32),
+                     n_lights - 1)
+    lt = scene.lights.row(li)
+    power = lt.power * n_lights  # light-pick pdf compensation
+
+    u_pos = s.next2((n_photons,))
+    u_dir = s.next2((n_photons,))
+
+    # area: uniform position, cosine direction (exact for Lambertian Lemit;
+    # deviation from reference's uniform-hemisphere documented above)
+    pos_area = lt.position + u_pos[:, 0:1] * lt.v1 + u_pos[:, 1:2] * lt.v2
+    dir_area, _, _ = sample_unit_hemisphere_cos(lt.normal, u_dir,
+                                                bias_small_cosine=True)
+
+    # point: sphere, or disc toward scene when >1.5x bounding radius with
+    # solid-angle power factor (PhotonGenerator.cu:53-71)
+    to_light = lt.position - center
+    dist_l = jnp.linalg.norm(to_light, axis=-1)
+    to_light_n = to_light / jnp.maximum(dist_l, 1e-20)[:, None]
+    well_outside = dist_l > 1.5 * radius
+    disc_pt = sample_disc(u_pos, jnp.broadcast_to(center, to_light.shape),
+                          jnp.broadcast_to(radius, dist_l.shape), -to_light_n)
+    dir_disc = disc_pt - lt.position
+    dir_disc = dir_disc / jnp.maximum(
+        jnp.linalg.norm(dir_disc, axis=-1, keepdims=True), 1e-20)
+    solid_factor = (1.0 - dist_l * jax.lax.rsqrt(radius * radius
+                                                 + dist_l * dist_l)) / 2.0
+    dir_sphere, _ = sample_unit_sphere(u_dir)
+    dir_point = jnp.where(well_outside[:, None], dir_disc, dir_sphere)
+    factor_point = jnp.where(well_outside, solid_factor, 1.0)
+
+    # spot: cone around axis (PhotonGenerator.cu:73-78)
+    dir_spot, _ = sample_cone(u_dir, lt.angle, lt.normal)
+
+    is_area = lt.kind == AREA
+    is_spot = lt.kind == SPOT
+    origin = jnp.where(is_area[:, None], pos_area, lt.position)
+    direction = jnp.where(is_area[:, None], dir_area,
+                          jnp.where(is_spot[:, None], dir_spot, dir_point))
+    power = power * jnp.where(is_area | is_spot, 1.0, factor_point)[:, None]
+    return origin, direction, power
+
+
+def trace_photon_pass(scene: Scene, cfg: RenderConfig, key: Array, eps
+                      ) -> tuple[PhotonBatch, dict]:
+    n = cfg.photons_per_iteration
+    max_dep = cfg.max_photon_deposits_per_emitted
+    cap = n * max_dep
+    s = Sampler(key)
+    o, d, power = emit_photons(scene, n, s)
+
+    ppos = jnp.zeros((cap + 1, 3))
+    ppow = jnp.zeros((cap + 1, 3))
+    pdir = jnp.zeros((cap + 1, 3))
+    pvalid = jnp.zeros((cap + 1,), jnp.bool_)
+    stored = jnp.zeros((n,), jnp.int32)
+    alive = jnp.ones((n,), jnp.bool_)
+    lane = jnp.arange(n, dtype=jnp.int32)
+    path_len = jnp.zeros((n,), jnp.int32)
+
+    for depth in range(cfg.max_photon_trace_depth):
+        skey = Sampler(jax.random.fold_in(key, 2000 + depth))
+        hit = intersect(scene, o, d, jnp.full((n,), 1.0) * eps,
+                        jnp.full((n,), BIG))
+        from ..scene.types import EMITTER
+        kind = scene.materials.kind[hit.mat]
+        live = alive & hit.hit & (kind != EMITTER)  # emitters absorb
+        bsdf, _, _ = bsdf_at_hit(scene, hit, d)
+        is_spec = bsdf.is_specular()
+
+        # deposit at non-specular hits from depth>=1 (Diffuse.cu:98-103)
+        deposit = live & ~is_spec & (depth >= 1) & (stored < max_dep)
+        slot = jnp.where(deposit, lane * max_dep + stored, cap)
+        ppos = ppos.at[slot].set(hit.position)
+        ppow = ppow.at[slot].set(power)
+        pdir = pdir.at[slot].set(d)
+        pvalid = pvalid.at[slot].set(True)
+        stored = stored + deposit.astype(jnp.int32)
+
+        # full-capacity paths stop (Diffuse.cu:124-127)
+        live = live & (stored < max_dep)
+
+        # bounce: adjoint BSDF sample; for diffuse this is power *= Kd
+        res = bsdf.sample(skey.next3((n,)), adjoint=True)
+        w = res.f * (res.cos_theta / jnp.maximum(res.pdf_w, 1e-20))[:, None]
+        power = jnp.where(live[:, None] & res.valid[:, None], power * w,
+                          power)
+        live = live & res.valid
+
+        # RR from depth 3 (Diffuse.cu:107-117)
+        if depth >= cfg.photon_rr_start_depth:
+            p_cont = bsdf.continuation_prob()
+            survive = skey.next1((n,)) < p_cont
+            power = jnp.where((live & survive)[:, None],
+                              power / jnp.maximum(p_cont, 1e-20)[:, None],
+                              power)
+            live = live & survive
+
+        o = jnp.where(live[:, None], hit.position, o)
+        d = jnp.where(live[:, None], res.world_dir, d)
+        path_len = path_len + live.astype(jnp.int32)
+        alive = live
+
+    photons = PhotonBatch(position=ppos[:cap], power=ppow[:cap],
+                          direction=pdir[:cap], valid=pvalid[:cap])
+    stats = dict(photons_stored=jnp.sum(stored),
+                 avg_photon_path_length=jnp.mean(path_len.astype(jnp.float32)))
+    return photons, stats
+
+
+# ---------------------------------------------------------------------------
+# full iteration
+# ---------------------------------------------------------------------------
+
+def render_iteration(scene: Scene, camera: Camera, cfg: RenderConfig,
+                     iteration: Array, base_key: Array,
+                     radius_sq: Array) -> tuple[Array, dict]:
+    W, H = cfg.width, cfg.height
+    n = W * H
+    eps = scene_epsilon(scene)
+    radius = jnp.sqrt(radius_sq)
+
+    eye_key = iteration_key(base_key, iteration, PASS_PPM_EYE)
+    photon_key = iteration_key(base_key, iteration, PASS_PPM_PHOTON)
+    est_key = iteration_key(base_key, iteration, PASS_PPM_ESTIMATE)
+
+    # 1. eye pass
+    hp = trace_eye_pass(scene, camera, cfg, eye_key, eps)
+
+    # 2-3. photon pass + map build
+    photons, photon_stats = trace_photon_pass(scene, cfg, photon_key, eps)
+
+    # 4. indirect estimation at hitpoints
+    if cfg.photon_map_structure == PhotonMapStructure.SORTED_UNIFORM_GRID:
+        grid = build_photon_grid(photons, cfg.photon_grid_resolution)
+        accum_power, gather_stats = gather_photons(
+            grid, hp.position, hp.ns, radius,
+            max_cells_per_axis=4,
+            budget_per_run=cfg.gather_max_photons_per_cell)
+    else:
+        h = build_stochastic_hash(photons, radius,
+                                  cfg.stochastic_hash_size_log2,
+                                  jax.random.fold_in(photon_key, 77))
+        accum_power, gather_stats = gather_stochastic_hash(
+            h, hp.position, hp.ns, radius)
+
+    kd = scene.materials.kd[hp.mat]
+    brdf = kd / jnp.pi  # reference uses kd (module docstring)
+    indirect = (accum_power * brdf * hp.attenuation
+                / (jnp.pi * radius_sq * cfg.photons_per_iteration))
+    indirect = jnp.where(hp.found[:, None], indirect, 0.0)
+
+    # 5. direct estimation at hitpoints (DirectRadianceEstimation.cu:29-77)
+    kd_l, ks_l, exp_l, kr_l, kt_l, ior_l, diel_l = \
+        scene.materials.bsdf_coefficients(hp.mat)
+    from ..bsdf import BSDF
+    hp_bsdf = BSDF.make(hp.ns, hp.ng, hp.wo, kd_l, ks_l, exp_l, kr_l,
+                        kt_l, ior_l, diel_l)
+    s_est = Sampler(est_key)
+    direct = nee_direct(scene, hp_bsdf, hp.position, hp.found, s_est,
+                        cfg.ppm_direct_shadow_samples, eps)
+    direct = jnp.where(hp.found[:, None], hp.attenuation * direct, 0.0)
+    # emitter/specular/miss pixels pass stored radiance through (no clamp)
+    passthrough = hp.radiance
+
+    # 6. output
+    radiance = (direct + indirect + passthrough).reshape(H, W, 3)
+    stats = dict(**photon_stats,
+                 **{k: jnp.sum(v) for k, v in gather_stats.items()})
+    return radiance, stats

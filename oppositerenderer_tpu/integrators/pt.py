@@ -18,14 +18,13 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..accel.intersect import intersect, occluded
+from ..accel.intersect import intersect
 from ..camera import Camera
 from ..config import RenderConfig
 from ..core.math import Array, max3
 from ..core.rng import Sampler, iteration_key
-from ..lights import light_contribution
 from ..scene.types import Scene
-from .common import bsdf_at_hit, pixel_coords, scene_epsilon
+from .common import bsdf_at_hit, nee_direct, pixel_coords, scene_epsilon
 
 PASS_PT = 0
 BIG = 1e30
@@ -70,30 +69,11 @@ def render_iteration(scene: Scene, camera: Camera, cfg: RenderConfig,
             count[:, None], state["throughput"] * emitter_rad, 0.0)
         active = active & ~is_emitter
 
-        # --- NEE: one shadow sample to a uniformly picked light -----------
+        # --- NEE: shadow samples to uniformly picked lights ---------------
         if cfg.pt_direct_light_sampling and cfg.pt_shadow_samples > 0:
-            nee_ok = active & ~bsdf.is_specular()
-            direct = jnp.zeros((n, 3), jnp.float32)
-            for _ in range(cfg.pt_shadow_samples):
-                li = jnp.minimum(
-                    (skey.next1((n,)) * n_lights).astype(jnp.int32),
-                    n_lights - 1)
-                rows = scene.lights.row(li)
-                contrib, point_on_light, dist = light_contribution(
-                    rows, hit.position, bsdf.frame.n, skey.next2((n,)))
-                dir_l = (point_on_light - hit.position) \
-                    / jnp.maximum(dist, 1e-20)[:, None]
-                f, _, _, _ = bsdf.f(dir_l)
-                worth = nee_ok & (max3(contrib) > 0.0) & (max3(f) > 0.0)
-                occ = occluded(scene, hit.position, dir_l,
-                               jnp.full((n,), eps),
-                               jnp.maximum(dist - 2 * eps, eps))
-                vis = worth & ~occ
-                direct = direct + jnp.where(
-                    vis[:, None], f * contrib * n_lights, 0.0)
-            radiance = radiance + jnp.where(
-                nee_ok[:, None],
-                state["throughput"] * direct / cfg.pt_shadow_samples, 0.0)
+            direct = nee_direct(scene, bsdf, hit.position, active, skey,
+                                cfg.pt_shadow_samples, eps)
+            radiance = radiance + state["throughput"] * direct
 
         # --- sample continuation direction --------------------------------
         res = bsdf.sample(skey.next3((n,)))

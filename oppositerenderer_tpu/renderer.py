@@ -43,7 +43,15 @@ class Renderer:
         self.root_key = make_root_key(seed)
         if ppm_initial_radius is None:
             if cfg.ppm_default_radius_from_scene:
-                ppm_initial_radius = scene.initial_ppm_radius_estimate()
+                # The reference's area-based heuristic (IScene.cpp:23-31)
+                # yields 1.7e-4 for the 2.5-unit box — unusably small (its
+                # GUI overrides with a 0.20 setting). Use 1% of the scene
+                # diagonal, clamped below by the reference heuristic.
+                import numpy as np
+                diag = float(np.linalg.norm(np.asarray(
+                    scene.aabb_max - scene.aabb_min)))
+                ppm_initial_radius = max(
+                    0.01 * diag, scene.initial_ppm_radius_estimate())
             else:
                 ppm_initial_radius = cfg.ppm_initial_radius
         self.ppm_initial_radius = float(ppm_initial_radius)

@@ -1,0 +1,121 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from oppositerenderer_tpu import photon_map as pm
+
+
+def make_photons(n=4000, seed=0, frac_valid=0.9):
+    k = jax.random.PRNGKey(seed)
+    pos = jax.random.uniform(k, (n, 3), minval=0.0, maxval=2.0)
+    power = jax.random.uniform(jax.random.fold_in(k, 1), (n, 3))
+    d = jax.random.normal(jax.random.fold_in(k, 2), (n, 3))
+    d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+    # all directions downward so a +y normal accepts them
+    d = d.at[:, 1].set(-jnp.abs(d[:, 1]) - 0.01)
+    d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+    valid = jax.random.uniform(jax.random.fold_in(k, 3), (n,)) < frac_valid
+    return pm.PhotonBatch(position=pos, power=power, direction=d, valid=valid)
+
+
+def brute_force_gather(photons, q, normal, radius):
+    pos = np.asarray(photons.position)
+    pw = np.asarray(photons.power)
+    dr = np.asarray(photons.direction)
+    vd = np.asarray(photons.valid)
+    out = np.zeros((q.shape[0], 3))
+    r2 = radius * radius
+    for i, p in enumerate(np.asarray(q)):
+        diff = p - pos
+        d2 = (diff * diff).sum(1)
+        okm = vd & (d2 <= r2) & ((-dr * normal).sum(1) >= 0)
+        w = np.asarray(pm.gaussian_kernel_weight(jnp.asarray(d2),
+                                                 jnp.asarray(r2)))
+        out[i] = (pw[okm] * w[okm, None]).sum(0)
+    return out
+
+
+def test_grid_build_offsets_consistent():
+    photons = make_photons()
+    grid = pm.build_photon_grid(photons, resolution=16)
+    offs = np.asarray(grid.offsets)
+    assert offs[0] == 0
+    assert (np.diff(offs) >= 0).all()
+    assert offs[-1] == int(jnp.sum(photons.valid))  # invalid sorted beyond
+    # every photon in its cell's interval
+    cells = pm.cell_index_1d(
+        pm.cell_coords(grid.position, grid.origin, grid.cell_size, 16), 16)
+    n_valid = int(grid.n_valid)
+    cells = np.asarray(cells)[:n_valid]
+    for i in range(0, n_valid, 97):
+        c = cells[i]
+        assert offs[c] <= i < offs[c + 1]
+
+
+@pytest.mark.parametrize("radius", [0.08, 0.25])
+def test_gather_matches_bruteforce(radius):
+    photons = make_photons()
+    grid = pm.build_photon_grid(photons, resolution=16)
+    k = jax.random.PRNGKey(9)
+    q = jax.random.uniform(k, (64, 3), minval=0.2, maxval=1.8)
+    normal = jnp.tile(jnp.asarray([[0.0, 1.0, 0.0]]), (64, 1))
+    # cell size = 2/16 = 0.125; radius 0.25 needs 2r/cs + 1 = 5 cells
+    got, stats = pm.gather_photons(grid, q, normal, jnp.float32(radius),
+                                   max_cells_per_axis=6, budget_per_run=256)
+    assert int(stats["photon_overflow"].sum()) == 0
+    want = brute_force_gather(photons, q, np.asarray([0.0, 1.0, 0.0]), radius)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_gather_normal_rejection():
+    photons = make_photons()
+    grid = pm.build_photon_grid(photons, resolution=16)
+    q = jnp.asarray([[1.0, 1.0, 1.0]])
+    # normal pointing down -> all (downward) photons rejected
+    got, _ = pm.gather_photons(grid, q, jnp.asarray([[0.0, -1.0, 0.0]]),
+                               jnp.float32(0.3), max_cells_per_axis=6,
+                               budget_per_run=256)
+    np.testing.assert_allclose(np.asarray(got), 0.0, atol=1e-7)
+
+
+def test_gather_budget_overflow_reported():
+    photons = make_photons(n=2000, frac_valid=1.0)
+    # cram all photons into a tiny region -> guaranteed overflow
+    photons = photons.replace(position=photons.position * 0.01 + 1.0)
+    grid = pm.build_photon_grid(photons, resolution=4)
+    q = jnp.asarray([[1.01, 1.01, 1.01]])
+    _, stats = pm.gather_photons(grid, q, jnp.asarray([[0.0, 1.0, 0.0]]),
+                                 jnp.float32(0.05), budget_per_run=16)
+    assert int(stats["photon_overflow"].sum()) > 0
+
+
+def test_kernel_weight_bounds():
+    r2 = jnp.float32(1.0)
+    d2 = jnp.linspace(0.0, 1.0, 64)
+    w = pm.gaussian_kernel_weight(d2, r2)
+    # Jensen gaussian as implemented in the reference: w(0)=alpha and
+    # w(r) ~ 0.497 (the 2r^2 in the exponent means it does NOT vanish at r)
+    assert float(w[0]) == pytest.approx(1.818, rel=1e-5)
+    assert float(w[-1]) == pytest.approx(0.4974, abs=1e-3)
+    assert bool(jnp.all(jnp.diff(w) < 0))
+
+
+def test_stochastic_hash_gather_approximates():
+    photons = make_photons(n=3000, frac_valid=1.0)
+    h = pm.build_stochastic_hash(photons, cell_size=jnp.float32(0.12),
+                                 table_size_log2=14,
+                                 key=jax.random.PRNGKey(0))
+    grid = pm.build_photon_grid(photons, resolution=16)
+    k = jax.random.PRNGKey(10)
+    q = jax.random.uniform(k, (256, 3), minval=0.3, maxval=1.7)
+    normal = jnp.tile(jnp.asarray([[0.0, 1.0, 0.0]]), (256, 1))
+    radius = jnp.float32(0.12)  # ~cell size
+    exact, _ = pm.gather_photons(grid, q, normal, radius,
+                                 max_cells_per_axis=6, budget_per_run=256)
+    approx, _ = pm.gather_stochastic_hash(h, q, normal, radius)
+    # stochastic estimate is unbiased-ish: totals should be within ~30%
+    se = float(exact.sum())
+    sa = float(approx.sum())
+    assert se > 0
+    assert abs(sa - se) / se < 0.35

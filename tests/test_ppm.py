@@ -1,0 +1,103 @@
+import jax
+import numpy as np
+import pytest
+
+from oppositerenderer_tpu.config import (PhotonMapStructure, RenderConfig,
+                                         RenderMethod)
+from oppositerenderer_tpu.renderer import Renderer
+from oppositerenderer_tpu.scene import get_scene_by_name, make_cornell_small
+
+
+def ppm_cfg(**kw):
+    base = dict(width=48, height=48,
+                render_method=RenderMethod.PROGRESSIVE_PHOTON_MAPPING,
+                photons_per_iteration=1 << 14, photon_grid_resolution=24)
+    base.update(kw)
+    return RenderConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def cornell():
+    return make_cornell_small()
+
+
+def test_ppm_renders_finite_nonzero(cornell):
+    scene, cam = cornell
+    r = Renderer(scene, cam, ppm_cfg(), seed=2)
+    m = r.render_next_iteration()
+    img = np.asarray(r.film.mean_radiance())
+    assert np.isfinite(img).all()
+    assert img.max() > 1.0           # emitter visible
+    assert (img.sum(-1) > 0).mean() > 0.9
+    assert m["photons_stored"] > 0
+    assert m["avg_photon_path_length"] > 0.5
+
+
+def test_ppm_agrees_with_pt(cornell):
+    """Mean image PPM vs PT within a few percent (the key estimator
+    cross-check; replaces the reference's visual thesis validation)."""
+    scene, cam = cornell
+    rp = Renderer(scene, cam, ppm_cfg(), seed=2)
+    rp.render(10)
+    ppm_img = np.asarray(rp.film.mean_radiance())
+
+    rt = Renderer(scene, cam, ppm_cfg(
+        render_method=RenderMethod.PATH_TRACING), seed=3)
+    rt.render(60)
+    pt_img = np.asarray(rt.film.mean_radiance())
+
+    # overall energy agreement
+    assert ppm_img.mean() == pytest.approx(pt_img.mean(), rel=0.05)
+    # per-region agreement on a downsampled grid (robust to noise)
+    a = ppm_img.reshape(8, 6, 8, 6, 3).mean(axis=(1, 3, 4))
+    b = pt_img.reshape(8, 6, 8, 6, 3).mean(axis=(1, 3, 4))
+    mask = b > 0.02
+    rel = np.abs(a - b)[mask] / b[mask]
+    assert np.median(rel) < 0.15, (np.median(rel), rel.max())
+
+
+def test_ppm_radius_shrinks_indirect_consistent(cornell):
+    """Later iterations (smaller radius) keep the same mean energy."""
+    scene, cam = cornell
+    r = Renderer(scene, cam, ppm_cfg(), seed=4)
+    r.render(2)
+    early = np.asarray(r.film.mean_radiance()).mean()
+    r2 = Renderer(scene, cam, ppm_cfg(), seed=4)
+    r2.render(10)
+    late = np.asarray(r2.film.mean_radiance()).mean()
+    assert late == pytest.approx(early, rel=0.1)
+
+
+def test_ppm_specular_chain(cornell):
+    """Mirror-floor variant: specular pixels get radiance via the chain."""
+    scene, cam = get_scene_by_name("CornellSmallLargeSphere")
+    r = Renderer(scene, cam, ppm_cfg(), seed=5)
+    r.render(2)
+    img = np.asarray(r.film.mean_radiance())
+    assert np.isfinite(img).all()
+    assert img.max() > 0.5
+
+
+def test_ppm_stochastic_hash_variant(cornell):
+    scene, cam = cornell
+    cfg = ppm_cfg(photon_map_structure=PhotonMapStructure.STOCHASTIC_HASH,
+                  stochastic_hash_size_log2=15)
+    r = Renderer(scene, cam, cfg, seed=6)
+    r.render(4)
+    img = np.asarray(r.film.mean_radiance())
+    assert np.isfinite(img).all()
+    # energy in the same ballpark as the exact grid
+    r2 = Renderer(scene, cam, ppm_cfg(), seed=6)
+    r2.render(4)
+    exact = np.asarray(r2.film.mean_radiance())
+    assert img.mean() == pytest.approx(exact.mean(), rel=0.25)
+
+
+def test_ppm_point_light_scene():
+    scene, cam = get_scene_by_name("CornellSmallSmallSpheres")
+    r = Renderer(scene, cam, ppm_cfg(), seed=7)
+    m = r.render_next_iteration()
+    img = np.asarray(r.film.mean_radiance())
+    assert np.isfinite(img).all()
+    assert img.max() > 0.1
+    assert m["photons_stored"] > 0
