@@ -95,7 +95,8 @@ def trace_eye_pass(scene: Scene, camera: Camera, cfg: RenderConfig,
         specular_chain=jnp.zeros((n,), jnp.bool_))
     walking = jnp.ones((n,), jnp.bool_)
 
-    for depth in range(cfg.max_radiance_trace_depth):
+    def eye_step(carry, depth):
+        hp, o, d, walking = carry
         skey = Sampler(jax.random.fold_in(key, 1000 + depth))
         hit = intersect(scene, o, d, jnp.full((n,), 1.0) * eps,
                         jnp.full((n,), BIG))
@@ -132,7 +133,11 @@ def trace_eye_pass(scene: Scene, camera: Camera, cfg: RenderConfig,
         o = jnp.where(cont[:, None], hit.position, o)
         d = jnp.where(cont[:, None], res.world_dir, d)
         walking = cont & res.valid
+        return (hp, o, d, walking), None
 
+    (hp, o, d, walking), _ = jax.lax.scan(
+        eye_step, (hp, o, d, walking),
+        jnp.arange(cfg.max_radiance_trace_depth))
     return hp
 
 
@@ -204,11 +209,13 @@ def trace_photon_pass(scene: Scene, cfg: RenderConfig, key: Array, eps
     lane = jnp.arange(n, dtype=jnp.int32)
     path_len = jnp.zeros((n,), jnp.int32)
 
-    for depth in range(cfg.max_photon_trace_depth):
+    from ..scene.types import EMITTER
+
+    def photon_step(carry, depth):
+        o, d, power, ppos, ppow, pdir, pvalid, stored, alive, path_len = carry
         skey = Sampler(jax.random.fold_in(key, 2000 + depth))
         hit = intersect(scene, o, d, jnp.full((n,), 1.0) * eps,
                         jnp.full((n,), BIG))
-        from ..scene.types import EMITTER
         kind = scene.materials.kind[hit.mat]
         live = alive & hit.hit & (kind != EMITTER)  # emitters absorb
         bsdf, _, _ = bsdf_at_hit(scene, hit, d)
@@ -234,18 +241,25 @@ def trace_photon_pass(scene: Scene, cfg: RenderConfig, key: Array, eps
         live = live & res.valid
 
         # RR from depth 3 (Diffuse.cu:107-117)
-        if depth >= cfg.photon_rr_start_depth:
-            p_cont = bsdf.continuation_prob()
-            survive = skey.next1((n,)) < p_cont
-            power = jnp.where((live & survive)[:, None],
-                              power / jnp.maximum(p_cont, 1e-20)[:, None],
-                              power)
-            live = live & survive
+        do_rr = depth >= cfg.photon_rr_start_depth
+        p_cont = jnp.where(do_rr, bsdf.continuation_prob(), 1.0)
+        survive = skey.next1((n,)) < p_cont
+        power = jnp.where((live & survive)[:, None],
+                          power / jnp.maximum(p_cont, 1e-20)[:, None],
+                          power)
+        live = live & survive
 
         o = jnp.where(live[:, None], hit.position, o)
         d = jnp.where(live[:, None], res.world_dir, d)
         path_len = path_len + live.astype(jnp.int32)
         alive = live
+        return (o, d, power, ppos, ppow, pdir, pvalid, stored, alive,
+                path_len), None
+
+    carry = (o, d, power, ppos, ppow, pdir, pvalid, stored, alive, path_len)
+    carry, _ = jax.lax.scan(photon_step, carry,
+                            jnp.arange(cfg.max_photon_trace_depth))
+    (o, d, power, ppos, ppow, pdir, pvalid, stored, alive, path_len) = carry
 
     photons = PhotonBatch(position=ppos[:cap], power=ppow[:cap],
                           direction=pdir[:cap], valid=pvalid[:cap])

@@ -56,6 +56,7 @@ def render_iteration(scene: Scene, camera: Camera, cfg: RenderConfig,
 
     def bounce(state, depth):
         skey = Sampler(jax.random.fold_in(state["key"], depth))
+        depth = jnp.asarray(depth)
         hit = intersect(scene, state["o"], state["d"],
                         jnp.full((n,), eps), jnp.full((n,), BIG))
         active = state["active"] & hit.hit
@@ -84,21 +85,20 @@ def render_iteration(scene: Scene, camera: Camera, cfg: RenderConfig,
         active = active & res.valid
 
         # --- Russian roulette (RayGeneratorPT.cu:108-117) ------------------
-        if depth >= cfg.path_rr_start_depth:
-            p_cont = jnp.clip(max3(throughput), 0.0, 1.0)
-            u = skey.next1((n,))
-            survive = u < p_cont
-            throughput = throughput / jnp.maximum(p_cont, 1e-20)[:, None]
-            active = active & survive
+        do_rr = depth >= cfg.path_rr_start_depth
+        p_cont = jnp.where(do_rr, jnp.clip(max3(throughput), 0.0, 1.0), 1.0)
+        survive = skey.next1((n,)) < p_cont
+        throughput = throughput / jnp.maximum(p_cont, 1e-20)[:, None]
+        active = active & survive
 
         return dict(
             o=hit.position, d=res.world_dir, throughput=throughput,
             radiance=radiance, active=active,
             count_emitter=res.is_specular, key=state["key"]), None
 
-    # static unroll over segments (counts are small; scan adds no value
-    # since intersect() dominates)
-    for depth in range(cfg.pt_max_segments):
-        state, _ = bounce(state, depth)
+    # lax.scan over bounce index: the body compiles once (compile time on
+    # TPU matters; the reference pays 60s OptiX JIT, OptixRenderer README:78)
+    state, _ = jax.lax.scan(bounce, state,
+                            jnp.arange(cfg.pt_max_segments))
 
     return state["radiance"].reshape(H, W, 3)

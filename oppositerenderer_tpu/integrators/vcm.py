@@ -1,0 +1,483 @@
+"""VCM-style bidirectional path tracing (vertex connection; merging off).
+
+Implements the reference's VCM estimator family exactly — the recursive MIS
+quantities dVCM/dVC/dVM per the "Implementing VCM" tech report as coded in
+``renderer/vcm/mis.h`` (init :35-105, on-hit :109-123, on-scatter :133-186),
+and the four connection techniques in ``renderer/vcm/vcm.h``:
+
+* t=1 light-path -> camera splats (connectCameraT1, :65-161)
+* s=0 camera path hits an emitter (connectLightSourceS0, :493-522)
+* s=1 next-event estimation with full MIS (connectLightSourceS1, :406-488)
+* vertex connection camera-vertex x light-vertex (connectVertices, :315-400)
+
+with the balance heuristic (vcm_shared.h:12-16) and the host-side factors of
+OptixRenderer.cpp:675-696 (etaVCM, misVc/VmWeightFactor; VM merging is
+scaffolded-off exactly like the reference, so misVmWeightFactor=0 unless
+enabled).
+
+TPU re-design vs the reference:
+* Light vertices live in a dense [n_paths, max_len-1] tensor with validity
+  masks instead of an atomically-appended Light Vertex Cache + index buffer
+  (OptixRenderer.cpp:698-773); the one-time LVC size-estimate pass becomes
+  unnecessary. 1:1 path pairing (pixel i <-> light path i % count,
+  vcm.h:603-607) indexes rows directly.
+* Light vertices store material id + frame instead of an embedded VcmBSDF
+  byte blob (LightVertex.h:14-30); the BSDF is rebuilt from the material
+  table at connection time.
+* Camera splats are scatter-adds into the frame (.at[].add), not global
+  buffer "+=" races (the reference comments on exactly those races,
+  vcm.h:604-606).
+* sampleScattering's zero-BSDF rejection leaves the reference's path
+  un-advanced and re-traces the same ray (vcm.h:188-204); here rejection
+  terminates the path.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..accel.intersect import intersect, occluded
+from ..bsdf import BSDF
+from ..camera import Camera
+from ..config import RenderConfig
+from ..core.math import Array, dot, max3
+from ..core.rng import Sampler, iteration_key
+from ..core.sampling import pdf_w_to_a
+from ..lights import light_emit, light_illuminate
+from ..scene.types import EMITTER, Scene
+from .common import bsdf_at_hit, pixel_coords, scene_epsilon
+
+PASS_VCM_LIGHT = 4
+PASS_VCM_CAMERA = 5
+BIG = 1e30
+EPS_COSINE = 1e-6
+
+
+def _mis(x):
+    """vcmMis — balance heuristic (vcm_shared.h:12-16)."""
+    return x
+
+
+@struct.dataclass
+class LightVertexStore:
+    """Dense light-subpath vertices [n_paths, max_verts]."""
+
+    position: Array     # [P,V,3]
+    throughput: Array   # [P,V,3]
+    dVCM: Array         # [P,V]
+    dVC: Array          # [P,V]
+    dVM: Array          # [P,V]
+    mat: Array          # [P,V] int32
+    ns: Array           # [P,V,3]
+    ng: Array           # [P,V,3]
+    wo: Array           # [P,V,3] dir back along the incoming ray
+    valid: Array        # [P,V] bool
+
+
+def _rebuild_bsdf(scene: Scene, mat: Array, ns: Array, ng: Array,
+                  wo: Array) -> BSDF:
+    kd, ks, expn, kr, kt, ior, diel = scene.materials.bsdf_coefficients(mat)
+    return BSDF.make(ns, ng, wo, kd, ks, expn, kr, kt, ior, diel)
+
+
+# ---------------------------------------------------------------------------
+# light pass
+# ---------------------------------------------------------------------------
+
+def trace_light_pass(scene: Scene, camera: Camera, cfg: RenderConfig,
+                     key: Array, eps, mis_vc_w: Array, mis_vm_w: Array,
+                     n_paths: int):
+    """Light subpaths: store vertices + t=1 camera splats.
+
+    Returns (LightVertexStore, splat_image [H,W,3], stats).
+    """
+    W, H = cfg.width, cfg.height
+    s = Sampler(key)
+    n_lights = scene.lights.n_lights
+    center, radius = scene.bounding_sphere
+    max_verts = cfg.vcm_max_path_length - 1
+
+    # --- initLightPayload (VCMLightPass.cu:117-163) ----------------------
+    li = jnp.minimum((s.next1((n_paths,)) * n_lights).astype(jnp.int32),
+                     n_lights - 1)
+    rows = scene.lights.row(li)
+    light_pick_pdf = 1.0 / n_lights
+    radiance, o, d, emission_pdf_w, direct_pdf_w, cos_at_light = light_emit(
+        rows, s.next2((n_paths,)), s.next2((n_paths,)), center, radius,
+        eps_cosine=cfg.eps_cosine)
+    emission_pdf_w = emission_pdf_w * light_pick_pdf
+    direct_pdf_w = direct_pdf_w * light_pick_pdf
+    throughput = radiance / jnp.maximum(emission_pdf_w, 1e-30)[:, None]
+    is_finite_light = rows.is_finite
+    is_delta_light = rows.is_delta
+
+    # --- initLightMisTerms (mis.h:35-80) ---------------------------------
+    dVCM = _mis(direct_pdf_w / jnp.maximum(emission_pdf_w, 1e-30))
+    used_cos = jnp.where(is_finite_light, cos_at_light, 1.0)
+    dVC = jnp.where(is_delta_light, 0.0,
+                    _mis(used_cos / jnp.maximum(emission_pdf_w, 1e-30)))
+    dVM = dVC * mis_vc_w
+
+    alive = jnp.ones((n_paths,), jnp.bool_)
+    splat = jnp.zeros((H * W, 3), jnp.float32)
+    store = LightVertexStore(
+        position=jnp.zeros((n_paths, max_verts, 3)),
+        throughput=jnp.zeros((n_paths, max_verts, 3)),
+        dVCM=jnp.zeros((n_paths, max_verts)),
+        dVC=jnp.zeros((n_paths, max_verts)),
+        dVM=jnp.zeros((n_paths, max_verts)),
+        mat=jnp.zeros((n_paths, max_verts), jnp.int32),
+        ns=jnp.zeros((n_paths, max_verts, 3)),
+        ng=jnp.zeros((n_paths, max_verts, 3)),
+        wo=jnp.zeros((n_paths, max_verts, 3)),
+        valid=jnp.zeros((n_paths, max_verts), jnp.bool_))
+    n_stored = jnp.zeros((n_paths,), jnp.int32)
+
+    def light_step(carry, depth1):  # depth1 = depth after ++
+        (o, d, throughput, dVCM, dVC, dVM, alive, store, n_stored,
+         splat) = carry
+        skey = Sampler(jax.random.fold_in(key, 3000 + depth1))
+        hit = intersect(scene, o, d, jnp.full((n_paths,), 1.0) * eps,
+                        jnp.full((n_paths,), BIG))
+        kind = scene.materials.kind[hit.mat]
+        live = alive & hit.hit & (kind != EMITTER)  # emitter absorbs
+        # (DiffuseEmitter.cu:76-79: light path terminates on emitters)
+
+        bsdf, _, _ = bsdf_at_hit(scene, hit, d)
+        n_eff = bsdf.frame.n  # possibly flipped for glass
+        cos_in = dot(n_eff, -d)
+        live = live & (cos_in >= EPS_COSINE)  # vcm.h:245-250
+
+        # updateMisTermsOnHit (mis.h:109-123)
+        dVCM = jnp.where(live, dVCM * _mis(jnp.square(hit.t)) / _mis(cos_in),
+                         dVCM)
+        dVC = jnp.where(live, dVC / _mis(cos_in), dVC)
+        dVM = jnp.where(live, dVM / _mis(cos_in), dVM)
+
+        is_spec = bsdf.is_specular()
+        storeable = live & ~is_spec
+
+        # --- store vertex (vcm.h:256-291); OOB slot drops the write ------
+        slot = jnp.where(storeable, n_stored, max_verts)
+        pidx = jnp.arange(n_paths)
+
+        def put(buf, val):
+            return buf.at[pidx, slot].set(val, mode="drop")
+
+        store = LightVertexStore(
+            position=put(store.position, hit.position),
+            throughput=put(store.throughput, throughput),
+            dVCM=put(store.dVCM, dVCM), dVC=put(store.dVC, dVC),
+            dVM=put(store.dVM, dVM), mat=put(store.mat, hit.mat),
+            ns=put(store.ns, n_eff), ng=put(store.ng, bsdf.ng),
+            wo=put(store.wo, -d),
+            valid=put(store.valid, jnp.ones((n_paths,), jnp.bool_)))
+        n_stored = n_stored + storeable.astype(jnp.int32)
+
+        # --- t=1: connect to camera (vcm.h:65-161) ------------------------
+        if cfg.vcm_connect_camera_t1:
+            splat = splat + _connect_camera_t1(
+                scene, camera, cfg, bsdf, hit.position, throughput,
+                dVCM, dVC, storeable, n_paths, mis_vm_w, eps)
+
+        # --- terminate if too long (vcm.h:303-307), else scatter ----------
+        can_continue = live & (cfg.vcm_max_path_length >= depth1 + 2)
+        (o, d, throughput, dVCM, dVC, dVM, alive) = _sample_scattering(
+            skey, bsdf, hit.position, throughput, dVCM, dVC, dVM,
+            can_continue, mis_vc_w, mis_vm_w, adjoint=True)
+        return (o, d, throughput, dVCM, dVC, dVM, alive, store, n_stored,
+                splat), None
+
+    carry = (o, d, throughput, dVCM, dVC, dVM, alive, store, n_stored, splat)
+    carry, _ = jax.lax.scan(light_step, carry,
+                            jnp.arange(1, cfg.vcm_max_path_length))
+    (o, d, throughput, dVCM, dVC, dVM, alive, store, n_stored,
+     splat) = carry
+
+    stats = dict(light_vertices_stored=jnp.sum(n_stored),
+                 avg_light_path_verts=jnp.mean(n_stored.astype(jnp.float32)))
+    return store, splat.reshape(H, W, 3), stats
+
+
+def _exp(mask: Array, extra_dims: int) -> Array:
+    for _ in range(extra_dims):
+        mask = mask[..., None]
+    return mask
+
+
+def _connect_camera_t1(scene, camera, cfg, bsdf, hitpoint, throughput,
+                       dVCM, dVC, active, n_light_paths, mis_vm_w, eps):
+    """connectCameraT1 (vcm.h:65-161) -> splat buffer [H*W,3]."""
+    W, H = cfg.width, cfg.height
+    to_cam = camera.eye - hitpoint
+    dist = jnp.linalg.norm(to_cam, axis=-1)
+    dir_to_cam = to_cam / jnp.maximum(dist, 1e-20)[:, None]
+
+    px, py, inside, _ = camera.world_to_raster(hitpoint, W, H)
+    pix = (jnp.clip(py.astype(jnp.int32), 0, H - 1) * W
+           + jnp.clip(px.astype(jnp.int32), 0, W - 1))
+
+    f, cos_to_cam, _dpdf, rev_pdf = bsdf.f(dir_to_cam)
+    rev_pdf = rev_pdf * bsdf.continuation_prob()
+
+    camera_pdf_w, cos_at_cam = camera.pdf_quantities(-dir_to_cam, W, H)
+    camera_pdf_a = camera_pdf_w * jnp.abs(cos_to_cam) / jnp.maximum(
+        jnp.square(dist), 1e-20)
+
+    w_light = _mis(camera_pdf_a / n_light_paths) * (
+        mis_vm_w + dVCM + dVC * _mis(rev_pdf))
+    mis_weight = 1.0 / (w_light + 1.0)
+
+    contrib = (mis_weight[:, None] * throughput * f
+               * (camera_pdf_a / n_light_paths)[:, None])
+
+    ok = active & inside & (max3(f) > 0.0) & (cos_at_cam > 0.0)
+    occ = occluded(scene, hitpoint, dir_to_cam,
+                   jnp.full_like(dist, 1.0) * eps,
+                   jnp.maximum(dist - 2 * eps, eps))
+    ok = ok & ~occ
+    contrib = jnp.where(ok[:, None], contrib, 0.0)
+    return jnp.zeros((H * W, 3)).at[jnp.where(ok, pix, 0)].add(contrib)
+
+
+def _sample_scattering(skey: Sampler, bsdf: BSDF, hitpoint, throughput,
+                       dVCM, dVC, dVM, can_continue, mis_vc_w, mis_vm_w,
+                       adjoint: bool):
+    """sampleScattering (vcm.h:166-204) + updateMisTermsOnScatter
+    (mis.h:133-186), vectorized with masks."""
+    n = throughput.shape[0]
+    cont_prob = bsdf.continuation_prob()
+    rr = skey.next1((n,)) < cont_prob
+    live = can_continue & rr
+
+    res = bsdf.sample(skey.next3((n,)), adjoint=adjoint)
+    live = live & res.valid & (res.pdf_w > 0.0)
+
+    # reverse pdf: same as direct for specular, else evaluated (vcm.h:184-187)
+    _, _, _dp, rev = bsdf.f(res.world_dir)
+    rev_pdf = jnp.where(res.is_specular, res.pdf_w, rev)
+    dir_pdf = res.pdf_w * cont_prob
+    rev_pdf = rev_pdf * cont_prob
+
+    cos_out = res.cos_theta
+    # updateMisTermsOnScatter
+    safe_dir = jnp.maximum(dir_pdf, 1e-30)
+    new_dVC_spec = dVC * _mis(cos_out)
+    new_dVM_spec = dVM * _mis(cos_out)
+    new_dVCM_spec = jnp.zeros_like(dVCM)
+    new_dVC_ns = _mis(cos_out / safe_dir) * (dVC * _mis(rev_pdf) + dVCM
+                                             + mis_vm_w)
+    new_dVM_ns = _mis(cos_out / safe_dir) * (dVM * _mis(rev_pdf)
+                                             + dVCM * mis_vc_w + 1.0)
+    new_dVCM_ns = _mis(1.0 / safe_dir)
+
+    sp = res.is_specular
+    dVC_n = jnp.where(live, jnp.where(sp, new_dVC_spec, new_dVC_ns), dVC)
+    dVM_n = jnp.where(live, jnp.where(sp, new_dVM_spec, new_dVM_ns), dVM)
+    dVCM_n = jnp.where(live, jnp.where(sp, new_dVCM_spec, new_dVCM_ns), dVCM)
+
+    w = res.f * (cos_out / jnp.maximum(dir_pdf, 1e-30))[:, None]
+    thr = jnp.where(live[:, None], throughput * w, throughput)
+    return hitpoint, res.world_dir, thr, dVCM_n, dVC_n, dVM_n, live
+
+
+# ---------------------------------------------------------------------------
+# camera pass
+# ---------------------------------------------------------------------------
+
+def trace_camera_pass(scene: Scene, camera: Camera, cfg: RenderConfig,
+                      key: Array, eps, mis_vc_w: Array, mis_vm_w: Array,
+                      store: LightVertexStore, n_light_paths: int):
+    W, H = cfg.width, cfg.height
+    n = W * H
+    s = Sampler(key)
+    n_lights = scene.lights.n_lights
+    center, sradius = scene.bounding_sphere
+    light_pick_prob = 1.0 / n_lights
+    max_verts = cfg.vcm_max_path_length - 1
+
+    px, py = pixel_coords(W, H)
+    o, d = camera.generate_rays(px, py, s.next2((n,)), W, H,
+                                dof_u=s.next2((n,)))
+    camera_pdf_w, _ = camera.pdf_quantities(d, W, H)
+
+    # initCameraMisTerms (mis.h:84-105)
+    dVCM = _mis(n_light_paths / camera_pdf_w)
+    dVC = jnp.zeros((n,))
+    dVM = jnp.zeros((n,))
+    throughput = jnp.ones((n, 3))
+    color = jnp.zeros((n, 3))
+    alive = jnp.ones((n,), jnp.bool_)
+    # 1:1 pairing (vcm.h:603-607)
+    pair = jnp.arange(n, dtype=jnp.int32) % n_light_paths
+
+    def camera_step(carry, depth1):
+        o, d, throughput, dVCM, dVC, dVM, alive, color = carry
+        skey = Sampler(jax.random.fold_in(key, 4000 + depth1))
+        hit = intersect(scene, o, d, jnp.full((n,), 1.0) * eps,
+                        jnp.full((n,), BIG))
+        live = alive & hit.hit
+
+        bsdf, is_emitter, _ = bsdf_at_hit(scene, hit, d)
+        n_eff = bsdf.frame.n
+
+        # --- s=0: emitter hit (DiffuseEmitter.cu:95-119 + vcm.h:493-522) --
+        em = live & is_emitter
+        if cfg.vcm_connect_light_s0:
+            lemit = scene.materials.emission[hit.mat]
+            front = dot(hit.ns, -d) > 0.0
+            mrow = scene.materials.light_index[hit.mat]
+            inv_area = scene.lights.inverse_area[jnp.maximum(mrow, 0)]
+            from ..core.sampling import cos_hemisphere_pdf_w
+            direct_pdf_a = inv_area * light_pick_prob
+            emission_pdf_w = cos_hemisphere_pdf_w(hit.ng, -d) * inv_area \
+                * light_pick_prob
+            w_camera = _mis(direct_pdf_a) * dVCM \
+                + _mis(emission_pdf_w) * dVC
+            mis_weight = jnp.where(depth1 == 1, 1.0,
+                                   1.0 / (1.0 + w_camera))
+            contrib = throughput * lemit * mis_weight[:, None]
+            color = color + jnp.where((em & front)[:, None], contrib, 0.0)
+        alive_after_em = live & ~em  # emitter terminates the path
+
+        cos_in = dot(n_eff, -d)
+        live2 = alive_after_em & (cos_in >= EPS_COSINE)
+
+        # updateMisTermsOnHit
+        dVCM = jnp.where(live2, dVCM * _mis(jnp.square(hit.t))
+                         / _mis(cos_in), dVCM)
+        dVC = jnp.where(live2, dVC / _mis(cos_in), dVC)
+        dVM = jnp.where(live2, dVM / _mis(cos_in), dVM)
+
+        is_spec = bsdf.is_specular()
+        connectable = live2 & ~is_spec
+
+        # --- s=1: NEE with full MIS (vcm.h:406-488) -----------------------
+        if cfg.vcm_connect_light_s1:
+            li = jnp.minimum((skey.next1((n,)) * n_lights).astype(jnp.int32),
+                             n_lights - 1)
+            rows = scene.lights.row(li)
+            radiance, dir_l, ldist, direct_pdf_w, emission_pdf_w, \
+                cos_at_light = light_illuminate(
+                    rows, skey.next2((n,)), hit.position, center, sradius,
+                    eps_cosine=cfg.eps_cosine)
+            f, cos_to_light, bsdf_dir_pdf, bsdf_rev_pdf = bsdf.f(dir_l)
+            cont = bsdf.continuation_prob()
+            bsdf_dir_pdf = jnp.where(rows.is_delta, 0.0,
+                                     bsdf_dir_pdf * cont)
+            bsdf_rev_pdf = bsdf_rev_pdf * cont
+            w_light = _mis(bsdf_dir_pdf
+                           / jnp.maximum(light_pick_prob * direct_pdf_w,
+                                         1e-30))
+            w_camera = _mis(emission_pdf_w * jnp.maximum(cos_to_light, 0.0)
+                            / jnp.maximum(direct_pdf_w * cos_at_light,
+                                          1e-30)) \
+                * (mis_vm_w + dVCM + dVC * _mis(bsdf_rev_pdf))
+            mis_weight = 1.0 / (w_light + 1.0 + w_camera)
+            contrib = (mis_weight * jnp.maximum(cos_to_light, 0.0)
+                       / jnp.maximum(light_pick_prob * direct_pdf_w, 1e-30)
+                       )[:, None] * radiance * f * throughput
+            ok = connectable & (max3(radiance) > 0.0) & (max3(f) > 0.0)
+            occ = occluded(scene, hit.position, dir_l,
+                           jnp.full((n,), 1.0) * eps,
+                           jnp.maximum(ldist - 2 * eps, eps))
+            color = color + jnp.where((ok & ~occ)[:, None], contrib, 0.0)
+
+        # --- vertex connections (vcm.h:315-400, loop :603-616) ------------
+        if cfg.vcm_connect_vertices:
+            def vc_step(color_acc, vi):
+                lv_bsdf = _rebuild_bsdf(scene, store.mat[pair, vi],
+                                        store.ns[pair, vi],
+                                        store.ng[pair, vi],
+                                        store.wo[pair, vi])
+                color_acc = color_acc + _connect_vertices(
+                    scene, bsdf, hit.position, throughput, dVCM, dVC,
+                    lv_bsdf, store.position[pair, vi],
+                    store.throughput[pair, vi], store.dVCM[pair, vi],
+                    store.dVC[pair, vi],
+                    connectable & store.valid[pair, vi], mis_vm_w, eps)
+                return color_acc, None
+
+            color, _ = jax.lax.scan(vc_step, color,
+                                    jnp.arange(max_verts))
+
+        # --- terminate if path too long, else scatter ---------------------
+        can_continue = live2 & (depth1 < cfg.vcm_max_path_length)
+        (o, d, throughput, dVCM, dVC, dVM, alive) = _sample_scattering(
+            skey, bsdf, hit.position, throughput, dVCM, dVC, dVM,
+            can_continue, mis_vc_w, mis_vm_w, adjoint=False)
+        return (o, d, throughput, dVCM, dVC, dVM, alive, color), None
+
+    carry = (o, d, throughput, dVCM, dVC, dVM, alive, color)
+    carry, _ = jax.lax.scan(camera_step, carry,
+                            jnp.arange(1, cfg.vcm_max_path_length + 1))
+    color = carry[-1]
+    return color.reshape(H, W, 3)
+
+
+def _connect_vertices(scene, cam_bsdf, cam_hit, cam_thr, cam_dVCM, cam_dVC,
+                      lv_bsdf, lv_pos, lv_thr, lv_dVCM, lv_dVC, active,
+                      mis_vm_w, eps):
+    """connectVertices (vcm.h:315-400)."""
+    direction = lv_pos - cam_hit
+    dist2 = dot(direction, direction)
+    dist = jnp.sqrt(jnp.maximum(dist2, 1e-30))
+    direction = direction / dist[:, None]
+
+    cam_f, cam_cos, cam_dir_pdf, cam_rev_pdf = cam_bsdf.f(direction)
+    cam_cont = cam_bsdf.continuation_prob()
+    cam_dir_pdf = cam_dir_pdf * cam_cont
+    cam_rev_pdf = cam_rev_pdf * cam_cont
+
+    lv_f, lv_cos, lv_dir_pdf, lv_rev_pdf = lv_bsdf.f(-direction)
+    lv_cont = lv_bsdf.continuation_prob()
+    lv_dir_pdf = lv_dir_pdf * lv_cont
+    lv_rev_pdf = lv_rev_pdf * lv_cont
+
+    geometry = lv_cos * cam_cos / jnp.maximum(dist2, 1e-30)
+
+    cam_dir_pdf_a = pdf_w_to_a(cam_dir_pdf, dist, lv_cos)
+    lv_dir_pdf_a = pdf_w_to_a(lv_dir_pdf, dist, cam_cos)
+
+    w_light = _mis(cam_dir_pdf_a) * (mis_vm_w + lv_dVCM
+                                     + lv_dVC * _mis(lv_rev_pdf))
+    w_camera = _mis(lv_dir_pdf_a) * (mis_vm_w + cam_dVCM
+                                     + cam_dVC * _mis(cam_rev_pdf))
+    mis_weight = 1.0 / (w_light + 1.0 + w_camera)
+
+    contrib = (geometry * mis_weight)[:, None] * cam_f * lv_f \
+        * cam_thr * lv_thr
+
+    ok = (active & (geometry > 0.0) & (max3(cam_f) > 0.0)
+          & (max3(lv_f) > 0.0))
+    occ = occluded(scene, cam_hit, direction,
+                   jnp.full_like(dist, 1.0) * eps,
+                   jnp.maximum(dist - 2 * eps, eps))
+    return jnp.where((ok & ~occ)[:, None], contrib, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# full iteration
+# ---------------------------------------------------------------------------
+
+def render_iteration(scene: Scene, camera: Camera, cfg: RenderConfig,
+                     iteration: Array, base_key: Array,
+                     radius_sq: Array) -> tuple[Array, dict]:
+    eps = scene_epsilon(scene)
+    n_light_paths = cfg.width * cfg.height  # light launch = image size
+
+    # host-side MIS factors (OptixRenderer.cpp:675-696); nVC=1 (1:1 pairing)
+    eta_vcm = float(n_light_paths) * jnp.pi * radius_sq
+    mis_vm_w = _mis(eta_vcm) if cfg.vcm_use_vm else jnp.zeros(())
+    mis_vc_w = _mis(1.0 / eta_vcm) if cfg.vcm_use_vc else jnp.zeros(())
+
+    lkey = iteration_key(base_key, iteration, PASS_VCM_LIGHT)
+    ckey = iteration_key(base_key, iteration, PASS_VCM_CAMERA)
+
+    store, splat, lstats = trace_light_pass(
+        scene, camera, cfg, lkey, eps, mis_vc_w, mis_vm_w, n_light_paths)
+    color = trace_camera_pass(
+        scene, camera, cfg, ckey, eps, mis_vc_w, mis_vm_w, store,
+        n_light_paths)
+    return color + splat, lstats
