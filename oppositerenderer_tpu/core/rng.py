@@ -56,3 +56,42 @@ class Sampler:
     def split_key(self) -> Array:
         """Hand out an independent key (e.g. to carry into a scan body)."""
         return self._next_key()
+
+
+class LaneSampler:
+    """Per-lane counter-based sampler: draw *i* for lane *l* is a pure
+    function of ``(key, lane_id, i)``.
+
+    This makes every random decision **sharding-invariant**: a lane produces
+    the same stream no matter which device of the mesh owns it, so a
+    tile-sharded render is bit-comparable to the single-device one (the
+    reference gets cross-machine decorrelation from per-pixel curand states
+    seeded by iteration, OptixRenderer_SpatialHash.cu:300-334; here it falls
+    out of counter-based hashing).
+    """
+
+    def __init__(self, key: Array, lane_ids: Array):
+        self._lane_keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
+            key, lane_ids)
+        self._n = 0
+
+    def _next_keys(self) -> Array:
+        k = jax.vmap(jax.random.fold_in, in_axes=(0, None))(
+            self._lane_keys, self._n)
+        self._n += 1
+        return k
+
+    def next1(self) -> Array:
+        return jax.vmap(lambda k: jax.random.uniform(k, (),
+                                                     dtype=jnp.float32))(
+            self._next_keys())
+
+    def next2(self) -> Array:
+        return jax.vmap(lambda k: jax.random.uniform(k, (2,),
+                                                     dtype=jnp.float32))(
+            self._next_keys())
+
+    def next3(self) -> Array:
+        return jax.vmap(lambda k: jax.random.uniform(k, (3,),
+                                                     dtype=jnp.float32))(
+            self._next_keys())

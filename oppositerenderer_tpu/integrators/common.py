@@ -78,11 +78,11 @@ def nee_direct(scene: Scene, bsdf: BSDF, position: Array, active: Array,
     nee_ok = active & ~bsdf.is_specular()
     direct = jnp.zeros((n, 3), jnp.float32)
     for _ in range(n_samples):
-        li = jnp.minimum((sampler.next1((n,)) * n_lights).astype(jnp.int32),
+        li = jnp.minimum((sampler.next1() * n_lights).astype(jnp.int32),
                          n_lights - 1)
         rows = scene.lights.row(li)
         contrib, point_on_light, dist = light_contribution(
-            rows, position, bsdf.frame.n, sampler.next2((n,)))
+            rows, position, bsdf.frame.n, sampler.next2())
         dir_l = (point_on_light - position) \
             / jnp.maximum(dist, 1e-20)[:, None]
         f, _, _, _ = bsdf.f(dir_l)

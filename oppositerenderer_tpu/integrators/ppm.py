@@ -39,7 +39,7 @@ from ..accel.intersect import intersect
 from ..camera import Camera
 from ..config import PhotonMapStructure, RenderConfig
 from ..core.math import Array, dot, max3
-from ..core.rng import Sampler, iteration_key
+from ..core.rng import LaneSampler, iteration_key
 from ..core.sampling import (sample_cone, sample_disc, sample_unit_sphere,
                              sample_unit_hemisphere_cos)
 from ..lights import AREA, POINT, SPOT
@@ -78,13 +78,13 @@ class HitpointBuffer:
 # ---------------------------------------------------------------------------
 
 def trace_eye_pass(scene: Scene, camera: Camera, cfg: RenderConfig,
-                   key: Array, eps) -> HitpointBuffer:
+                   key: Array, eps, px: Array, py: Array,
+                   lane_ids: Array) -> HitpointBuffer:
     W, H = cfg.width, cfg.height
-    n = W * H
-    s = Sampler(key)
-    px, py = pixel_coords(W, H)
-    o, d = camera.generate_rays(px, py, s.next2((n,)), W, H,
-                                dof_u=s.next2((n,)))
+    n = px.shape[0]
+    s = LaneSampler(key, lane_ids)
+    o, d = camera.generate_rays(px, py, s.next2(), W, H,
+                                dof_u=s.next2())
 
     hp = HitpointBuffer(
         position=jnp.zeros((n, 3)), wo=jnp.zeros((n, 3)),
@@ -97,7 +97,8 @@ def trace_eye_pass(scene: Scene, camera: Camera, cfg: RenderConfig,
 
     def eye_step(carry, depth):
         hp, o, d, walking = carry
-        skey = Sampler(jax.random.fold_in(key, 1000 + depth))
+        skey = LaneSampler(jax.random.fold_in(key, 1000 + depth),
+                           lane_ids)
         hit = intersect(scene, o, d, jnp.full((n,), 1.0) * eps,
                         jnp.full((n,), BIG))
         live = walking & hit.hit
@@ -124,7 +125,7 @@ def trace_eye_pass(scene: Scene, camera: Camera, cfg: RenderConfig,
 
         # specular: continue the walk (Mirror.cu:52-64, Glass.cu:90-140)
         cont = live & is_spec
-        res = bsdf.sample(skey.next3((n,)))
+        res = bsdf.sample(skey.next3())
         w = res.f * (res.cos_theta / jnp.maximum(res.pdf_w, 1e-20))[:, None]
         hp = hp.replace(
             attenuation=jnp.where(cont[:, None] & res.valid[:, None],
@@ -145,17 +146,17 @@ def trace_eye_pass(scene: Scene, camera: Camera, cfg: RenderConfig,
 # 2. photon pass
 # ---------------------------------------------------------------------------
 
-def emit_photons(scene: Scene, n_photons: int, s: Sampler):
+def emit_photons(scene: Scene, s: LaneSampler):
     """PhotonGenerator.cu:41-129. Returns (origin, dir, power [N,3])."""
     n_lights = scene.lights.n_lights
     center, radius = scene.bounding_sphere
-    li = jnp.minimum((s.next1((n_photons,)) * n_lights).astype(jnp.int32),
+    li = jnp.minimum((s.next1() * n_lights).astype(jnp.int32),
                      n_lights - 1)
     lt = scene.lights.row(li)
     power = lt.power * n_lights  # light-pick pdf compensation
 
-    u_pos = s.next2((n_photons,))
-    u_dir = s.next2((n_photons,))
+    u_pos = s.next2()
+    u_dir = s.next2()
 
     # area: uniform position, cosine direction (exact for Lambertian Lemit;
     # deviation from reference's uniform-hemisphere documented above)
@@ -192,13 +193,15 @@ def emit_photons(scene: Scene, n_photons: int, s: Sampler):
     return origin, direction, power
 
 
-def trace_photon_pass(scene: Scene, cfg: RenderConfig, key: Array, eps
-                      ) -> tuple[PhotonBatch, dict]:
-    n = cfg.photons_per_iteration
+def trace_photon_pass(scene: Scene, cfg: RenderConfig, key: Array, eps,
+                      lane_ids: Array) -> tuple[PhotonBatch, dict]:
+    """``lane_ids`` are GLOBAL photon indices; the local buffer capacity is
+    len(lane_ids) * max_deposits (photons are sharded across devices)."""
+    n = lane_ids.shape[0]
     max_dep = cfg.max_photon_deposits_per_emitted
     cap = n * max_dep
-    s = Sampler(key)
-    o, d, power = emit_photons(scene, n, s)
+    s = LaneSampler(key, lane_ids)
+    o, d, power = emit_photons(scene, s)
 
     ppos = jnp.zeros((cap + 1, 3))
     ppow = jnp.zeros((cap + 1, 3))
@@ -213,7 +216,8 @@ def trace_photon_pass(scene: Scene, cfg: RenderConfig, key: Array, eps
 
     def photon_step(carry, depth):
         o, d, power, ppos, ppow, pdir, pvalid, stored, alive, path_len = carry
-        skey = Sampler(jax.random.fold_in(key, 2000 + depth))
+        skey = LaneSampler(jax.random.fold_in(key, 2000 + depth),
+                           lane_ids)
         hit = intersect(scene, o, d, jnp.full((n,), 1.0) * eps,
                         jnp.full((n,), BIG))
         kind = scene.materials.kind[hit.mat]
@@ -234,7 +238,7 @@ def trace_photon_pass(scene: Scene, cfg: RenderConfig, key: Array, eps
         live = live & (stored < max_dep)
 
         # bounce: adjoint BSDF sample; for diffuse this is power *= Kd
-        res = bsdf.sample(skey.next3((n,)), adjoint=True)
+        res = bsdf.sample(skey.next3(), adjoint=True)
         w = res.f * (res.cos_theta / jnp.maximum(res.pdf_w, 1e-20))[:, None]
         power = jnp.where(live[:, None] & res.valid[:, None], power * w,
                           power)
@@ -243,7 +247,7 @@ def trace_photon_pass(scene: Scene, cfg: RenderConfig, key: Array, eps
         # RR from depth 3 (Diffuse.cu:107-117)
         do_rr = depth >= cfg.photon_rr_start_depth
         p_cont = jnp.where(do_rr, bsdf.continuation_prob(), 1.0)
-        survive = skey.next1((n,)) < p_cont
+        survive = skey.next1() < p_cont
         power = jnp.where((live & survive)[:, None],
                           power / jnp.maximum(p_cont, 1e-20)[:, None],
                           power)
@@ -285,10 +289,15 @@ def render_iteration(scene: Scene, camera: Camera, cfg: RenderConfig,
     est_key = iteration_key(base_key, iteration, PASS_PPM_ESTIMATE)
 
     # 1. eye pass
-    hp = trace_eye_pass(scene, camera, cfg, eye_key, eps)
+    px, py = pixel_coords(W, H)
+    pixel_lanes = jnp.arange(n, dtype=jnp.int32)
+    hp = trace_eye_pass(scene, camera, cfg, eye_key, eps, px, py,
+                        pixel_lanes)
 
     # 2-3. photon pass + map build
-    photons, photon_stats = trace_photon_pass(scene, cfg, photon_key, eps)
+    photon_lanes = jnp.arange(cfg.photons_per_iteration, dtype=jnp.int32)
+    photons, photon_stats = trace_photon_pass(scene, cfg, photon_key, eps,
+                                              photon_lanes)
 
     # 4. indirect estimation at hitpoints
     if cfg.photon_map_structure == PhotonMapStructure.SORTED_UNIFORM_GRID:
@@ -316,7 +325,7 @@ def render_iteration(scene: Scene, camera: Camera, cfg: RenderConfig,
     from ..bsdf import BSDF
     hp_bsdf = BSDF.make(hp.ns, hp.ng, hp.wo, kd_l, ks_l, exp_l, kr_l,
                         kt_l, ior_l, diel_l)
-    s_est = Sampler(est_key)
+    s_est = LaneSampler(est_key, pixel_lanes)
     direct = nee_direct(scene, hp_bsdf, hp.position, hp.found, s_est,
                         cfg.ppm_direct_shadow_samples, eps)
     direct = jnp.where(hp.found[:, None], hp.attenuation * direct, 0.0)

@@ -8,10 +8,12 @@ roulette from depth 3 with continuation prob = max component of throughput.
 
 TPU re-design: the per-thread loop + in-material recursion become a
 ``lax.scan`` over bounce index carrying the full wavefront [N] SoA state;
-material dispatch is the dense composite BSDF. Deliberate fixes vs the
-reference (documented): NEE applies the actual BSDF f (ref multiplies raw
-albedo — light.h:29-89 misses the 1/pi), and emitter radiance adds to the
-accumulated NEE sum rather than overwriting it (RayGeneratorPT.cu:79-84).
+material dispatch is the dense composite BSDF; randomness is per-lane
+counter-based (sharding-invariant — see core.rng.LaneSampler). Deliberate
+fixes vs the reference (documented): NEE applies the actual BSDF f (ref
+multiplies raw albedo — light.h:29-89 misses the 1/pi), and emitter radiance
+adds to the accumulated NEE sum rather than overwriting it
+(RayGeneratorPT.cu:79-84).
 """
 from __future__ import annotations
 
@@ -22,7 +24,7 @@ from ..accel.intersect import intersect
 from ..camera import Camera
 from ..config import RenderConfig
 from ..core.math import Array, max3
-from ..core.rng import Sampler, iteration_key
+from ..core.rng import LaneSampler, iteration_key
 from ..scene.types import Scene
 from .common import bsdf_at_hit, nee_direct, pixel_coords, scene_epsilon
 
@@ -30,20 +32,19 @@ PASS_PT = 0
 BIG = 1e30
 
 
-def render_iteration(scene: Scene, camera: Camera, cfg: RenderConfig,
-                     iteration: Array, base_key: Array) -> Array:
-    """One PT iteration -> radiance [H, W, 3] (single sample/pixel)."""
-    W, H = cfg.width, cfg.height
-    n = W * H
-    eps = scene_epsilon(scene)
-    n_lights = scene.lights.n_lights
-    center, radius = scene.bounding_sphere
+def render_lanes(scene: Scene, camera: Camera, cfg: RenderConfig,
+                 iteration: Array, base_key: Array, px: Array, py: Array,
+                 lane_ids: Array) -> Array:
+    """PT radiance for arbitrary pixel lanes [n] (tile-shardable unit).
 
+    ``lane_ids`` are GLOBAL lane indices (sharding-invariant RNG streams).
+    """
+    n = px.shape[0]
+    eps = scene_epsilon(scene)
     key = iteration_key(base_key, iteration, PASS_PT)
-    s = Sampler(key)
-    px, py = pixel_coords(W, H)
-    o, d = camera.generate_rays(px, py, s.next2((n,)), W, H,
-                                dof_u=s.next2((n,)))
+    s = LaneSampler(key, lane_ids)
+    o, d = camera.generate_rays(px, py, s.next2(), cfg.width, cfg.height,
+                                dof_u=s.next2())
 
     state = dict(
         o=o, d=d,
@@ -51,14 +52,12 @@ def render_iteration(scene: Scene, camera: Camera, cfg: RenderConfig,
         radiance=jnp.zeros((n, 3), jnp.float32),
         active=jnp.ones((n,), jnp.bool_),
         count_emitter=jnp.ones((n,), jnp.bool_),  # primary hit counts
-        key=s.split_key(),
     )
 
     def bounce(state, depth):
-        skey = Sampler(jax.random.fold_in(state["key"], depth))
-        depth = jnp.asarray(depth)
+        skey = LaneSampler(jax.random.fold_in(key, depth + 1), lane_ids)
         hit = intersect(scene, state["o"], state["d"],
-                        jnp.full((n,), eps), jnp.full((n,), BIG))
+                        jnp.full((n,), 1.0) * eps, jnp.full((n,), BIG))
         active = state["active"] & hit.hit
         radiance = state["radiance"]
 
@@ -77,7 +76,7 @@ def render_iteration(scene: Scene, camera: Camera, cfg: RenderConfig,
             radiance = radiance + state["throughput"] * direct
 
         # --- sample continuation direction --------------------------------
-        res = bsdf.sample(skey.next3((n,)))
+        res = bsdf.sample(skey.next3())
         weight = res.f * (res.cos_theta / jnp.maximum(res.pdf_w, 1e-20)
                           )[:, None]
         throughput = state["throughput"] * jnp.where(
@@ -87,18 +86,28 @@ def render_iteration(scene: Scene, camera: Camera, cfg: RenderConfig,
         # --- Russian roulette (RayGeneratorPT.cu:108-117) ------------------
         do_rr = depth >= cfg.path_rr_start_depth
         p_cont = jnp.where(do_rr, jnp.clip(max3(throughput), 0.0, 1.0), 1.0)
-        survive = skey.next1((n,)) < p_cont
+        survive = skey.next1() < p_cont
         throughput = throughput / jnp.maximum(p_cont, 1e-20)[:, None]
         active = active & survive
 
         return dict(
             o=hit.position, d=res.world_dir, throughput=throughput,
             radiance=radiance, active=active,
-            count_emitter=res.is_specular, key=state["key"]), None
+            count_emitter=res.is_specular), None
 
     # lax.scan over bounce index: the body compiles once (compile time on
     # TPU matters; the reference pays 60s OptiX JIT, OptixRenderer README:78)
     state, _ = jax.lax.scan(bounce, state,
                             jnp.arange(cfg.pt_max_segments))
+    return state["radiance"]
 
-    return state["radiance"].reshape(H, W, 3)
+
+def render_iteration(scene: Scene, camera: Camera, cfg: RenderConfig,
+                     iteration: Array, base_key: Array) -> Array:
+    """One full-frame PT iteration -> radiance [H, W, 3]."""
+    W, H = cfg.width, cfg.height
+    px, py = pixel_coords(W, H)
+    lane_ids = jnp.arange(W * H, dtype=jnp.int32)
+    radiance = render_lanes(scene, camera, cfg, iteration, base_key, px, py,
+                            lane_ids)
+    return radiance.reshape(H, W, 3)

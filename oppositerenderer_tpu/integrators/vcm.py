@@ -42,7 +42,7 @@ from ..bsdf import BSDF
 from ..camera import Camera
 from ..config import RenderConfig
 from ..core.math import Array, dot, max3
-from ..core.rng import Sampler, iteration_key
+from ..core.rng import LaneSampler, iteration_key
 from ..core.sampling import pdf_w_to_a
 from ..lights import light_emit, light_illuminate
 from ..scene.types import EMITTER, Scene
@@ -87,24 +87,28 @@ def _rebuild_bsdf(scene: Scene, mat: Array, ns: Array, ng: Array,
 
 def trace_light_pass(scene: Scene, camera: Camera, cfg: RenderConfig,
                      key: Array, eps, mis_vc_w: Array, mis_vm_w: Array,
-                     n_paths: int):
+                     lane_ids: Array, n_light_paths_global: int):
     """Light subpaths: store vertices + t=1 camera splats.
 
+    ``lane_ids`` are GLOBAL path indices (this shard traces len(lane_ids)
+    paths); ``n_light_paths_global`` is the total across all shards (used in
+    the t=1 MIS weight and splat normalization).
     Returns (LightVertexStore, splat_image [H,W,3], stats).
     """
     W, H = cfg.width, cfg.height
-    s = Sampler(key)
+    n_paths = lane_ids.shape[0]
+    s = LaneSampler(key, lane_ids)
     n_lights = scene.lights.n_lights
     center, radius = scene.bounding_sphere
     max_verts = cfg.vcm_max_path_length - 1
 
     # --- initLightPayload (VCMLightPass.cu:117-163) ----------------------
-    li = jnp.minimum((s.next1((n_paths,)) * n_lights).astype(jnp.int32),
+    li = jnp.minimum((s.next1() * n_lights).astype(jnp.int32),
                      n_lights - 1)
     rows = scene.lights.row(li)
     light_pick_pdf = 1.0 / n_lights
     radiance, o, d, emission_pdf_w, direct_pdf_w, cos_at_light = light_emit(
-        rows, s.next2((n_paths,)), s.next2((n_paths,)), center, radius,
+        rows, s.next2(), s.next2(), center, radius,
         eps_cosine=cfg.eps_cosine)
     emission_pdf_w = emission_pdf_w * light_pick_pdf
     direct_pdf_w = direct_pdf_w * light_pick_pdf
@@ -137,7 +141,8 @@ def trace_light_pass(scene: Scene, camera: Camera, cfg: RenderConfig,
     def light_step(carry, depth1):  # depth1 = depth after ++
         (o, d, throughput, dVCM, dVC, dVM, alive, store, n_stored,
          splat) = carry
-        skey = Sampler(jax.random.fold_in(key, 3000 + depth1))
+        skey = LaneSampler(jax.random.fold_in(key, 3000 + depth1),
+                           lane_ids)
         hit = intersect(scene, o, d, jnp.full((n_paths,), 1.0) * eps,
                         jnp.full((n_paths,), BIG))
         kind = scene.materials.kind[hit.mat]
@@ -179,7 +184,7 @@ def trace_light_pass(scene: Scene, camera: Camera, cfg: RenderConfig,
         if cfg.vcm_connect_camera_t1:
             splat = splat + _connect_camera_t1(
                 scene, camera, cfg, bsdf, hit.position, throughput,
-                dVCM, dVC, storeable, n_paths, mis_vm_w, eps)
+                dVCM, dVC, storeable, n_light_paths_global, mis_vm_w, eps)
 
         # --- terminate if too long (vcm.h:303-307), else scatter ----------
         can_continue = live & (cfg.vcm_max_path_length >= depth1 + 2)
@@ -241,17 +246,16 @@ def _connect_camera_t1(scene, camera, cfg, bsdf, hitpoint, throughput,
     return jnp.zeros((H * W, 3)).at[jnp.where(ok, pix, 0)].add(contrib)
 
 
-def _sample_scattering(skey: Sampler, bsdf: BSDF, hitpoint, throughput,
+def _sample_scattering(skey: LaneSampler, bsdf: BSDF, hitpoint, throughput,
                        dVCM, dVC, dVM, can_continue, mis_vc_w, mis_vm_w,
                        adjoint: bool):
     """sampleScattering (vcm.h:166-204) + updateMisTermsOnScatter
     (mis.h:133-186), vectorized with masks."""
-    n = throughput.shape[0]
     cont_prob = bsdf.continuation_prob()
-    rr = skey.next1((n,)) < cont_prob
+    rr = skey.next1() < cont_prob
     live = can_continue & rr
 
-    res = bsdf.sample(skey.next3((n,)), adjoint=adjoint)
+    res = bsdf.sample(skey.next3(), adjoint=adjoint)
     live = live & res.valid & (res.pdf_w > 0.0)
 
     # reverse pdf: same as direct for specular, else evaluated (vcm.h:184-187)
@@ -288,18 +292,21 @@ def _sample_scattering(skey: Sampler, bsdf: BSDF, hitpoint, throughput,
 
 def trace_camera_pass(scene: Scene, camera: Camera, cfg: RenderConfig,
                       key: Array, eps, mis_vc_w: Array, mis_vm_w: Array,
-                      store: LightVertexStore, n_light_paths: int):
+                      store: LightVertexStore, n_light_paths: int,
+                      px: Array, py: Array, lane_ids: Array, pair: Array):
+    """``pair`` indexes rows of ``store`` (1:1 pairing, vcm.h:603-607);
+    under sharding it is the device-local pairing, which permutes but
+    preserves the estimator. ``n_light_paths`` is the global count."""
     W, H = cfg.width, cfg.height
-    n = W * H
-    s = Sampler(key)
+    n = px.shape[0]
+    s = LaneSampler(key, lane_ids)
     n_lights = scene.lights.n_lights
     center, sradius = scene.bounding_sphere
     light_pick_prob = 1.0 / n_lights
     max_verts = cfg.vcm_max_path_length - 1
 
-    px, py = pixel_coords(W, H)
-    o, d = camera.generate_rays(px, py, s.next2((n,)), W, H,
-                                dof_u=s.next2((n,)))
+    o, d = camera.generate_rays(px, py, s.next2(), W, H,
+                                dof_u=s.next2())
     camera_pdf_w, _ = camera.pdf_quantities(d, W, H)
 
     # initCameraMisTerms (mis.h:84-105)
@@ -309,12 +316,11 @@ def trace_camera_pass(scene: Scene, camera: Camera, cfg: RenderConfig,
     throughput = jnp.ones((n, 3))
     color = jnp.zeros((n, 3))
     alive = jnp.ones((n,), jnp.bool_)
-    # 1:1 pairing (vcm.h:603-607)
-    pair = jnp.arange(n, dtype=jnp.int32) % n_light_paths
 
     def camera_step(carry, depth1):
         o, d, throughput, dVCM, dVC, dVM, alive, color = carry
-        skey = Sampler(jax.random.fold_in(key, 4000 + depth1))
+        skey = LaneSampler(jax.random.fold_in(key, 4000 + depth1),
+                           lane_ids)
         hit = intersect(scene, o, d, jnp.full((n,), 1.0) * eps,
                         jnp.full((n,), BIG))
         live = alive & hit.hit
@@ -355,12 +361,12 @@ def trace_camera_pass(scene: Scene, camera: Camera, cfg: RenderConfig,
 
         # --- s=1: NEE with full MIS (vcm.h:406-488) -----------------------
         if cfg.vcm_connect_light_s1:
-            li = jnp.minimum((skey.next1((n,)) * n_lights).astype(jnp.int32),
+            li = jnp.minimum((skey.next1() * n_lights).astype(jnp.int32),
                              n_lights - 1)
             rows = scene.lights.row(li)
             radiance, dir_l, ldist, direct_pdf_w, emission_pdf_w, \
                 cos_at_light = light_illuminate(
-                    rows, skey.next2((n,)), hit.position, center, sradius,
+                    rows, skey.next2(), hit.position, center, sradius,
                     eps_cosine=cfg.eps_cosine)
             f, cos_to_light, bsdf_dir_pdf, bsdf_rev_pdf = bsdf.f(dir_l)
             cont = bsdf.continuation_prob()
@@ -412,8 +418,7 @@ def trace_camera_pass(scene: Scene, camera: Camera, cfg: RenderConfig,
     carry = (o, d, throughput, dVCM, dVC, dVM, alive, color)
     carry, _ = jax.lax.scan(camera_step, carry,
                             jnp.arange(1, cfg.vcm_max_path_length + 1))
-    color = carry[-1]
-    return color.reshape(H, W, 3)
+    return carry[-1]
 
 
 def _connect_vertices(scene, cam_bsdf, cam_hit, cam_thr, cam_dVCM, cam_dVC,
@@ -475,9 +480,15 @@ def render_iteration(scene: Scene, camera: Camera, cfg: RenderConfig,
     lkey = iteration_key(base_key, iteration, PASS_VCM_LIGHT)
     ckey = iteration_key(base_key, iteration, PASS_VCM_CAMERA)
 
+    n = cfg.width * cfg.height
+    path_lanes = jnp.arange(n_light_paths, dtype=jnp.int32)
     store, splat, lstats = trace_light_pass(
-        scene, camera, cfg, lkey, eps, mis_vc_w, mis_vm_w, n_light_paths)
+        scene, camera, cfg, lkey, eps, mis_vc_w, mis_vm_w, path_lanes,
+        n_light_paths)
+    px, py = pixel_coords(cfg.width, cfg.height)
+    pixel_lanes = jnp.arange(n, dtype=jnp.int32)
+    pair = pixel_lanes % n_light_paths
     color = trace_camera_pass(
         scene, camera, cfg, ckey, eps, mis_vc_w, mis_vm_w, store,
-        n_light_paths)
-    return color + splat, lstats
+        n_light_paths, px, py, pixel_lanes, pair)
+    return color.reshape(cfg.height, cfg.width, 3) + splat, lstats

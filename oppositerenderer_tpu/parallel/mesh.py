@@ -1,0 +1,31 @@
+"""Device mesh construction for sharded rendering.
+
+Replaces the reference's distribution topology (a TCP star of render servers,
+``Client/client/RenderServerConnections.cpp``) with a jax.sharding Mesh: one
+``tile`` axis over all chips; image tiles, light subpaths, and photons shard
+along it, and collectives (psum/all_gather) ride ICI.
+"""
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+TILE_AXIS = "tile"
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (TILE_AXIS,))
+
+
+def tile_sharding(mesh: Mesh, ndims: int = 1) -> NamedSharding:
+    """First axis sharded over tiles, rest replicated."""
+    return NamedSharding(mesh, P(TILE_AXIS, *([None] * (ndims - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
