@@ -106,7 +106,10 @@ def _closest_hit_chunk(scene: Scene, o, d, tmin, tmax):
     hit = t_hit < BIG
     prim = jnp.where(use_sph, T + best_sph, best_tri)
     prim = jnp.where(hit, prim, -1).astype(jnp.int32)
-    position = o + t_hit[:, None] * d
+    # missed lanes keep a sane position (o + d): garbage ~1e30 positions
+    # otherwise leak inf/NaN into masked downstream math and poison
+    # gradients (0 * nan = nan in VJPs)
+    position = o + jnp.where(hit, t_hit, 1.0)[:, None] * d
 
     # triangle attributes (barycentric normal/uv interp,
     # TriangleMesh.cu:60-116)

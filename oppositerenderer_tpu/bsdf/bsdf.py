@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -108,12 +109,14 @@ class BSDF:
         ], axis=-1)
 
     def continuation_prob(self) -> Array:
-        """RR continuation prob (VcmBSDF::AddBxDF accumulation, clamped 1)."""
+        """RR continuation prob (VcmBSDF::AddBxDF accumulation, clamped 1).
+        Detached: it is a sampling probability, not part of the integrand
+        (detached-sampling differentiable rendering)."""
         r = self._fresnel_refl()
         has_kt = max3(self.kt) > 0.0
         total = (max3(self.kd) + max3(self.ks) + r * max3(self.kr)
                  + jnp.where(has_kt, self._fresnel_trans(), 0.0))
-        return jnp.minimum(1.0, total)
+        return jax.lax.stop_gradient(jnp.minimum(1.0, total))
 
     def is_specular(self) -> Array:
         """True when only specular components are present (BSDF::isSpecular)."""
@@ -184,7 +187,11 @@ class BSDF:
         ok = pick_sum > 0.0
         f = jnp.where(ok[..., None], f, 0.0)
         cos_gen = local_gen[..., 2]
-        return f, cos_gen, jnp.where(ok, dpdf, 0.0), jnp.where(ok, rpdf, 0.0)
+        # pdfs are sampling densities: detach so estimator gradients use the
+        # detached-sampling form (they only enter weights and MIS terms)
+        dpdf = jax.lax.stop_gradient(jnp.where(ok, dpdf, 0.0))
+        rpdf = jax.lax.stop_gradient(jnp.where(ok, rpdf, 0.0))
+        return f, cos_gen, dpdf, rpdf
 
     def pdf(self, world_dir_gen: Array, reverse: bool = False) -> Array:
         """VcmBSDF::pdf (BSDF.h:414-435)."""
@@ -294,7 +301,7 @@ class BSDF:
                       jnp.where(sel_st, ~tir, jnp.full_like(tir, True))))
         ok = (pick_sum > 0.0) & comp_ok & (pdf > 0.0)
         f = jnp.where(ok[..., None], f, 0.0)
-        pdf = jnp.where(ok, pdf, 0.0)
+        pdf = jax.lax.stop_gradient(jnp.where(ok, pdf, 0.0))
         cos_out = jnp.abs(local_gen[..., 2])
         return SampleResult(f=f, world_dir=world_gen, pdf_w=pdf,
                             cos_theta=cos_out, is_specular=is_spec, valid=ok)

@@ -76,6 +76,9 @@ class RenderConfig:
     vcm_connect_camera_t1: bool = True            # !CONNECT_CAMERA_T1_DISABLED
     vcm_connect_light_s0: bool = True             # !CONNECT_LIGHT_S0_DISABLED
     vcm_connect_light_s1: bool = True             # !CONNECT_LIGHT_S1_DISABLED
+    # debugging/testing knob: pin the RR continuation probability (e.g. 1.0
+    # disables RR, making finite-difference gradient checks well-conditioned)
+    vcm_force_continuation_prob: float | None = None
 
     # --- epsilons (reference config.h:41-43) ---
     ray_len_min: float = 1e-4                     # RAY_LEN_MIN

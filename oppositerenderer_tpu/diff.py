@@ -1,0 +1,57 @@
+"""Differentiable-rendering helpers.
+
+New capability vs the reference (BASELINE.md targets): radiance estimates are
+differentiable w.r.t. material BSDF parameters (kd, ks, exponent, kr, kt) and
+light emission, using the detached-sampling estimator — sampling decisions,
+pdfs, Russian-roulette probabilities and MIS weights carry
+``stop_gradient`` (see bsdf.BSDF.f/sample, integrators), so ``jax.grad``
+through a render is the unbiased gradient of the expected image for fixed
+random streams. Visibility/geometry edges are not differentiated (no edge
+sampling); the supported scope is shading/emission parameters.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .scene.types import Scene
+
+Array = jax.Array
+
+
+def set_material_param(scene: Scene, field: str, material_idx: int,
+                       value: Array) -> Scene:
+    """Functionally replace one material's parameter (e.g. kd of wall 2)."""
+    table = scene.materials
+    arr = getattr(table, field)
+    return scene.replace(materials=table.replace(
+        **{field: arr.at[material_idx].set(value)}))
+
+
+def scale_emission(scene: Scene, scale: Array) -> Scene:
+    """Scale all light emission by ``scale`` (materials.emission is derived
+    from lights.power at build time, so both views scale together)."""
+    return scene.replace(
+        materials=scene.materials.replace(
+            emission=scene.materials.emission * scale),
+        lights=scene.lights.replace(
+            power=scene.lights.power * scale,
+            emission=scene.lights.emission * scale))
+
+
+def render_loss_and_grad(render_fn, scene: Scene, wrt):
+    """Convenience: value+grad of ``mean(render_fn(scene))`` w.r.t. a pytree
+    of overrides. ``wrt`` maps (field, material_idx) -> init value; returns
+    (loss, grads dict)."""
+    keys = list(wrt.keys())
+
+    def loss_fn(values):
+        s = scene
+        for (field, idx), v in zip(keys, values):
+            s = set_material_param(s, field, idx, v)
+        img = render_fn(s)
+        return jnp.mean(img)
+
+    vals = [wrt[k] for k in keys]
+    loss, grads = jax.value_and_grad(loss_fn)(vals)
+    return loss, dict(zip(keys, grads))

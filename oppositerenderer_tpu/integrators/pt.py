@@ -85,7 +85,8 @@ def render_lanes(scene: Scene, camera: Camera, cfg: RenderConfig,
 
         # --- Russian roulette (RayGeneratorPT.cu:108-117) ------------------
         do_rr = depth >= cfg.path_rr_start_depth
-        p_cont = jnp.where(do_rr, jnp.clip(max3(throughput), 0.0, 1.0), 1.0)
+        p_cont = jax.lax.stop_gradient(
+            jnp.where(do_rr, jnp.clip(max3(throughput), 0.0, 1.0), 1.0))
         survive = skey.next1() < p_cont
         throughput = throughput / jnp.maximum(p_cont, 1e-20)[:, None]
         active = active & survive

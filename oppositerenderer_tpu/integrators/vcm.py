@@ -75,6 +75,14 @@ class LightVertexStore:
     valid: Array        # [P,V] bool
 
 
+def _cont_prob(bsdf: BSDF, cfg: RenderConfig):
+    """RR continuation prob as used in MIS weights — must match what
+    sampleScattering actually uses (incl. the testing override)."""
+    if cfg.vcm_force_continuation_prob is not None:
+        return jnp.full_like(bsdf.ior, cfg.vcm_force_continuation_prob)
+    return bsdf.continuation_prob()
+
+
 def _rebuild_bsdf(scene: Scene, mat: Array, ns: Array, ng: Array,
                   wo: Array) -> BSDF:
     kd, ks, expn, kr, kt, ior, diel = scene.materials.bsdf_coefficients(mat)
@@ -110,8 +118,9 @@ def trace_light_pass(scene: Scene, camera: Camera, cfg: RenderConfig,
     radiance, o, d, emission_pdf_w, direct_pdf_w, cos_at_light = light_emit(
         rows, s.next2(), s.next2(), center, radius,
         eps_cosine=cfg.eps_cosine)
-    emission_pdf_w = emission_pdf_w * light_pick_pdf
-    direct_pdf_w = direct_pdf_w * light_pick_pdf
+    emission_pdf_w = jax.lax.stop_gradient(
+        emission_pdf_w * light_pick_pdf)
+    direct_pdf_w = jax.lax.stop_gradient(direct_pdf_w * light_pick_pdf)
     throughput = radiance / jnp.maximum(emission_pdf_w, 1e-30)[:, None]
     is_finite_light = rows.is_finite
     is_delta_light = rows.is_delta
@@ -190,7 +199,8 @@ def trace_light_pass(scene: Scene, camera: Camera, cfg: RenderConfig,
         can_continue = live & (cfg.vcm_max_path_length >= depth1 + 2)
         (o, d, throughput, dVCM, dVC, dVM, alive) = _sample_scattering(
             skey, bsdf, hit.position, throughput, dVCM, dVC, dVM,
-            can_continue, mis_vc_w, mis_vm_w, adjoint=True)
+            can_continue, mis_vc_w, mis_vm_w, adjoint=True,
+            force_cont_prob=cfg.vcm_force_continuation_prob)
         return (o, d, throughput, dVCM, dVC, dVM, alive, store, n_stored,
                 splat), None
 
@@ -224,20 +234,23 @@ def _connect_camera_t1(scene, camera, cfg, bsdf, hitpoint, throughput,
            + jnp.clip(px.astype(jnp.int32), 0, W - 1))
 
     f, cos_to_cam, _dpdf, rev_pdf = bsdf.f(dir_to_cam)
-    rev_pdf = rev_pdf * bsdf.continuation_prob()
+    rev_pdf = rev_pdf * _cont_prob(bsdf, cfg)
 
     camera_pdf_w, cos_at_cam = camera.pdf_quantities(-dir_to_cam, W, H)
-    camera_pdf_a = camera_pdf_w * jnp.abs(cos_to_cam) / jnp.maximum(
-        jnp.square(dist), 1e-20)
+    ok_cam = cos_at_cam > 1e-6
+    camera_pdf_a = jax.lax.stop_gradient(jnp.where(
+        ok_cam,
+        camera_pdf_w * jnp.abs(cos_to_cam)
+        / jnp.maximum(jnp.square(dist), 1e-20), 0.0))
 
-    w_light = _mis(camera_pdf_a / n_light_paths) * (
-        mis_vm_w + dVCM + dVC * _mis(rev_pdf))
-    mis_weight = 1.0 / (w_light + 1.0)
+    w_light = jnp.maximum(0.0, _mis(camera_pdf_a / n_light_paths) * (
+        mis_vm_w + dVCM + dVC * _mis(rev_pdf)))
+    mis_weight = jax.lax.stop_gradient(1.0 / (w_light + 1.0))
 
     contrib = (mis_weight[:, None] * throughput * f
                * (camera_pdf_a / n_light_paths)[:, None])
 
-    ok = active & inside & (max3(f) > 0.0) & (cos_at_cam > 0.0)
+    ok = active & inside & (max3(f) > 0.0) & ok_cam
     occ = occluded(scene, hitpoint, dir_to_cam,
                    jnp.full_like(dist, 1.0) * eps,
                    jnp.maximum(dist - 2 * eps, eps))
@@ -248,10 +261,13 @@ def _connect_camera_t1(scene, camera, cfg, bsdf, hitpoint, throughput,
 
 def _sample_scattering(skey: LaneSampler, bsdf: BSDF, hitpoint, throughput,
                        dVCM, dVC, dVM, can_continue, mis_vc_w, mis_vm_w,
-                       adjoint: bool):
+                       adjoint: bool, force_cont_prob: float | None = None):
     """sampleScattering (vcm.h:166-204) + updateMisTermsOnScatter
     (mis.h:133-186), vectorized with masks."""
-    cont_prob = bsdf.continuation_prob()
+    if force_cont_prob is not None:
+        cont_prob = jnp.full_like(bsdf.ior, force_cont_prob)
+    else:
+        cont_prob = bsdf.continuation_prob()
     rr = skey.next1() < cont_prob
     live = can_continue & rr
 
@@ -310,7 +326,7 @@ def trace_camera_pass(scene: Scene, camera: Camera, cfg: RenderConfig,
     camera_pdf_w, _ = camera.pdf_quantities(d, W, H)
 
     # initCameraMisTerms (mis.h:84-105)
-    dVCM = _mis(n_light_paths / camera_pdf_w)
+    dVCM = jax.lax.stop_gradient(_mis(n_light_paths / camera_pdf_w))
     dVC = jnp.zeros((n,))
     dVM = jnp.zeros((n,))
     throughput = jnp.ones((n, 3))
@@ -339,10 +355,10 @@ def trace_camera_pass(scene: Scene, camera: Camera, cfg: RenderConfig,
             direct_pdf_a = inv_area * light_pick_prob
             emission_pdf_w = cos_hemisphere_pdf_w(hit.ng, -d) * inv_area \
                 * light_pick_prob
-            w_camera = _mis(direct_pdf_a) * dVCM \
-                + _mis(emission_pdf_w) * dVC
-            mis_weight = jnp.where(depth1 == 1, 1.0,
-                                   1.0 / (1.0 + w_camera))
+            w_camera = jnp.maximum(0.0, _mis(direct_pdf_a) * dVCM
+                                   + _mis(emission_pdf_w) * dVC)
+            mis_weight = jax.lax.stop_gradient(
+                jnp.where(depth1 == 1, 1.0, 1.0 / (1.0 + w_camera)))
             contrib = throughput * lemit * mis_weight[:, None]
             color = color + jnp.where((em & front)[:, None], contrib, 0.0)
         alive_after_em = live & ~em  # emitter terminates the path
@@ -369,21 +385,24 @@ def trace_camera_pass(scene: Scene, camera: Camera, cfg: RenderConfig,
                     rows, skey.next2(), hit.position, center, sradius,
                     eps_cosine=cfg.eps_cosine)
             f, cos_to_light, bsdf_dir_pdf, bsdf_rev_pdf = bsdf.f(dir_l)
-            cont = bsdf.continuation_prob()
+            cont = _cont_prob(bsdf, cfg)
             bsdf_dir_pdf = jnp.where(rows.is_delta, 0.0,
                                      bsdf_dir_pdf * cont)
             bsdf_rev_pdf = bsdf_rev_pdf * cont
-            w_light = _mis(bsdf_dir_pdf
-                           / jnp.maximum(light_pick_prob * direct_pdf_w,
-                                         1e-30))
-            w_camera = _mis(emission_pdf_w * jnp.maximum(cos_to_light, 0.0)
-                            / jnp.maximum(direct_pdf_w * cos_at_light,
-                                          1e-30)) \
-                * (mis_vm_w + dVCM + dVC * _mis(bsdf_rev_pdf))
-            mis_weight = 1.0 / (w_light + 1.0 + w_camera)
-            contrib = (mis_weight * jnp.maximum(cos_to_light, 0.0)
-                       / jnp.maximum(light_pick_prob * direct_pdf_w, 1e-30)
-                       )[:, None] * radiance * f * throughput
+            w_light = jnp.maximum(0.0, _mis(
+                bsdf_dir_pdf / jnp.maximum(
+                    light_pick_prob * direct_pdf_w, 1e-30)))
+            w_camera = jnp.maximum(0.0, _mis(
+                emission_pdf_w * jnp.maximum(cos_to_light, 0.0)
+                / jnp.maximum(direct_pdf_w * cos_at_light, 1e-30))
+                * (mis_vm_w + dVCM + dVC * _mis(bsdf_rev_pdf)))
+            mis_weight = jax.lax.stop_gradient(
+                1.0 / (w_light + 1.0 + w_camera))
+            geom_factor = jax.lax.stop_gradient(
+                jnp.maximum(cos_to_light, 0.0)
+                / jnp.maximum(light_pick_prob * direct_pdf_w, 1e-30))
+            contrib = (mis_weight * geom_factor)[:, None] \
+                * radiance * f * throughput
             ok = connectable & (max3(radiance) > 0.0) & (max3(f) > 0.0)
             occ = occluded(scene, hit.position, dir_l,
                            jnp.full((n,), 1.0) * eps,
@@ -398,7 +417,7 @@ def trace_camera_pass(scene: Scene, camera: Camera, cfg: RenderConfig,
                                         store.ng[pair, vi],
                                         store.wo[pair, vi])
                 color_acc = color_acc + _connect_vertices(
-                    scene, bsdf, hit.position, throughput, dVCM, dVC,
+                    scene, cfg, bsdf, hit.position, throughput, dVCM, dVC,
                     lv_bsdf, store.position[pair, vi],
                     store.throughput[pair, vi], store.dVCM[pair, vi],
                     store.dVC[pair, vi],
@@ -412,7 +431,8 @@ def trace_camera_pass(scene: Scene, camera: Camera, cfg: RenderConfig,
         can_continue = live2 & (depth1 < cfg.vcm_max_path_length)
         (o, d, throughput, dVCM, dVC, dVM, alive) = _sample_scattering(
             skey, bsdf, hit.position, throughput, dVCM, dVC, dVM,
-            can_continue, mis_vc_w, mis_vm_w, adjoint=False)
+            can_continue, mis_vc_w, mis_vm_w, adjoint=False,
+            force_cont_prob=cfg.vcm_force_continuation_prob)
         return (o, d, throughput, dVCM, dVC, dVM, alive, color), None
 
     carry = (o, d, throughput, dVCM, dVC, dVM, alive, color)
@@ -421,9 +441,9 @@ def trace_camera_pass(scene: Scene, camera: Camera, cfg: RenderConfig,
     return carry[-1]
 
 
-def _connect_vertices(scene, cam_bsdf, cam_hit, cam_thr, cam_dVCM, cam_dVC,
-                      lv_bsdf, lv_pos, lv_thr, lv_dVCM, lv_dVC, active,
-                      mis_vm_w, eps):
+def _connect_vertices(scene, cfg, cam_bsdf, cam_hit, cam_thr, cam_dVCM,
+                      cam_dVC, lv_bsdf, lv_pos, lv_thr, lv_dVCM, lv_dVC,
+                      active, mis_vm_w, eps):
     """connectVertices (vcm.h:315-400)."""
     direction = lv_pos - cam_hit
     dist2 = dot(direction, direction)
@@ -431,25 +451,27 @@ def _connect_vertices(scene, cam_bsdf, cam_hit, cam_thr, cam_dVCM, cam_dVC,
     direction = direction / dist[:, None]
 
     cam_f, cam_cos, cam_dir_pdf, cam_rev_pdf = cam_bsdf.f(direction)
-    cam_cont = cam_bsdf.continuation_prob()
+    cam_cont = _cont_prob(cam_bsdf, cfg)
     cam_dir_pdf = cam_dir_pdf * cam_cont
     cam_rev_pdf = cam_rev_pdf * cam_cont
 
     lv_f, lv_cos, lv_dir_pdf, lv_rev_pdf = lv_bsdf.f(-direction)
-    lv_cont = lv_bsdf.continuation_prob()
+    lv_cont = _cont_prob(lv_bsdf, cfg)
     lv_dir_pdf = lv_dir_pdf * lv_cont
     lv_rev_pdf = lv_rev_pdf * lv_cont
 
-    geometry = lv_cos * cam_cos / jnp.maximum(dist2, 1e-30)
+    geometry = jax.lax.stop_gradient(
+        lv_cos * cam_cos / jnp.maximum(dist2, 1e-30))
 
     cam_dir_pdf_a = pdf_w_to_a(cam_dir_pdf, dist, lv_cos)
     lv_dir_pdf_a = pdf_w_to_a(lv_dir_pdf, dist, cam_cos)
 
-    w_light = _mis(cam_dir_pdf_a) * (mis_vm_w + lv_dVCM
-                                     + lv_dVC * _mis(lv_rev_pdf))
-    w_camera = _mis(lv_dir_pdf_a) * (mis_vm_w + cam_dVCM
-                                     + cam_dVC * _mis(cam_rev_pdf))
-    mis_weight = 1.0 / (w_light + 1.0 + w_camera)
+    w_light = jnp.maximum(0.0, _mis(cam_dir_pdf_a) * (
+        mis_vm_w + lv_dVCM + lv_dVC * _mis(lv_rev_pdf)))
+    w_camera = jnp.maximum(0.0, _mis(lv_dir_pdf_a) * (
+        mis_vm_w + cam_dVCM + cam_dVC * _mis(cam_rev_pdf)))
+    mis_weight = jax.lax.stop_gradient(
+        1.0 / (w_light + 1.0 + w_camera))
 
     contrib = (geometry * mis_weight)[:, None] * cam_f * lv_f \
         * cam_thr * lv_thr
