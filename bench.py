@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--method", default="pt", choices=["pt", "ppm", "vcm"])
+    ap.add_argument("--pallas", action="store_true",
+                    help="use the Pallas TPU intersection kernels")
     args = ap.parse_args()
 
     from oppositerenderer_tpu.config import RenderConfig, RenderMethod
@@ -42,6 +44,10 @@ def main():
     method = {"pt": RenderMethod.PATH_TRACING,
               "ppm": RenderMethod.PROGRESSIVE_PHOTON_MAPPING,
               "vcm": RenderMethod.VCM_BIDIRECTIONAL_PATH_TRACING}[args.method]
+
+    if args.pallas:
+        from oppositerenderer_tpu.accel import set_backend
+        set_backend("pallas")
 
     scene, camera = make_cornell_small()
     cfg = RenderConfig(width=size, height=size, render_method=method,

@@ -23,6 +23,22 @@ from ..scene.types import EMITTER, Scene
 
 BIG = 1e30
 
+# intersection backend: "jnp" (pure XLA), "pallas" (TPU kernels),
+# "pallas_interpret" (kernels in interpreter mode, for CPU tests)
+_BACKEND = "jnp"
+
+
+def set_backend(name: str) -> None:
+    """Select the intersection backend at trace time (Renderer sets this
+    from RenderConfig.use_pallas before compiling)."""
+    global _BACKEND
+    assert name in ("jnp", "pallas", "pallas_interpret"), name
+    _BACKEND = name
+
+
+def get_backend() -> str:
+    return _BACKEND
+
 
 @struct.dataclass
 class Hit:
@@ -83,13 +99,25 @@ def _sphere_hits(o, d, center, radius, tmin, tmax):
 
 def _closest_hit_chunk(scene: Scene, o, d, tmin, tmax):
     g = scene.geometry
-    T = g.n_triangles
     t_tri, u, v, ok_tri = _tri_hits(o, d, g.tri_v0, g.tri_e1, g.tri_e2,
                                     tmin, tmax)
     t_tri = jnp.where(ok_tri, t_tri, BIG)
     best_tri = jnp.argmin(t_tri, axis=1)
     ar = jnp.arange(o.shape[0])
     t_best_tri = t_tri[ar, best_tri]
+    bu = u[ar, best_tri]
+    bv = v[ar, best_tri]
+    return _finalize_hit(scene, o, d, tmin, tmax, t_best_tri, best_tri,
+                         bu, bv)
+
+
+def _finalize_hit(scene: Scene, o, d, tmin, tmax, t_best_tri, best_tri,
+                  bu, bv):
+    """Merge the best triangle hit with analytic spheres and interpolate
+    attributes (shared by the jnp and Pallas backends)."""
+    g = scene.geometry
+    T = g.n_triangles
+    ar = jnp.arange(o.shape[0])
 
     if g.n_spheres > 0:
         t_sph, ok_sph = _sphere_hits(o, d, g.sph_center, g.sph_radius,
@@ -113,8 +141,6 @@ def _closest_hit_chunk(scene: Scene, o, d, tmin, tmax):
 
     # triangle attributes (barycentric normal/uv interp,
     # TriangleMesh.cu:60-116)
-    bu = u[ar, best_tri]
-    bv = v[ar, best_tri]
     w0 = 1.0 - bu - bv
     ns_tri = normalize(w0[:, None] * g.tri_n0[best_tri]
                        + bu[:, None] * g.tri_n1[best_tri]
@@ -180,9 +206,40 @@ def _chunked(fn, chunk_size: int, n_out_leaves_hint=None):
     return run
 
 
+def _closest_hit_pallas(scene: Scene, o, d, tmin, tmax, interpret: bool):
+    from .pallas_intersect import closest_hit_tris, tri9_from_geometry
+    tri9 = tri9_from_geometry(scene.geometry)
+    t, idx, bu, bv = closest_hit_tris(o, d, tmin, tmax, tri9,
+                                      interpret=interpret)
+    T = scene.geometry.n_triangles
+    best_tri = jnp.clip(idx, 0, T - 1)
+    t_best_tri = jnp.where(idx >= 0, t, BIG)
+    return _finalize_hit(scene, o, d, tmin, tmax, t_best_tri, best_tri,
+                         bu, bv)
+
+
+def _occluded_pallas(scene: Scene, o, d, tmin, tmax, interpret: bool):
+    from .pallas_intersect import occluded_tris, tri9_from_geometry
+    g = scene.geometry
+    tri9 = tri9_from_geometry(g)
+    is_emitter = scene.materials.kind == EMITTER
+    occluder = ~is_emitter[g.tri_mat]
+    occ = occluded_tris(o, d, tmin, tmax, tri9, occluder,
+                        interpret=interpret)
+    if g.n_spheres > 0:
+        _, ok_sph = _sphere_hits(o, d, g.sph_center, g.sph_radius,
+                                 tmin, tmax)
+        sph_blocks = ok_sph & ~is_emitter[g.sph_mat][None, :]
+        occ = occ | jnp.any(sph_blocks, axis=1)
+    return occ
+
+
 def intersect(scene: Scene, o: Array, d: Array, tmin: Array, tmax: Array,
               chunk_size: int = 16384) -> Hit:
     """Closest hit for rays [N,3] against the whole scene (brute force)."""
+    if _BACKEND.startswith("pallas"):
+        return _closest_hit_pallas(scene, o, d, tmin, tmax,
+                                   interpret=_BACKEND.endswith("interpret"))
     return _chunked(partial(_closest_hit_chunk, scene), chunk_size)(
         o, d, tmin, tmax)
 
@@ -190,5 +247,8 @@ def intersect(scene: Scene, o: Array, d: Array, tmin: Array, tmax: Array,
 def occluded(scene: Scene, o: Array, d: Array, tmin: Array, tmax: Array,
              chunk_size: int = 16384) -> Array:
     """Shadow-ray test [N] -> bool. Emitter surfaces never occlude."""
+    if _BACKEND.startswith("pallas"):
+        return _occluded_pallas(scene, o, d, tmin, tmax,
+                                interpret=_BACKEND.endswith("interpret"))
     return _chunked(partial(_occluded_chunk, scene), chunk_size)(
         o, d, tmin, tmax)

@@ -74,6 +74,8 @@ class Renderer:
     # ------------------------------------------------------------------
     def _step_fn(self):
         """Build + cache the jitted per-iteration render step."""
+        from .accel import set_backend
+        set_backend("pallas" if self.cfg.use_pallas else "jnp")
         method = self.cfg.render_method
         cache_key = (method, self.cfg)
         if cache_key in self._compiled:
