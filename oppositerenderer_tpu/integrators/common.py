@@ -36,10 +36,30 @@ def bsdf_at_hit(scene: Scene, hit: Hit, incoming_dir: Array,
     kd, ks, exponent, kr, kt, ior, kr_diel = \
         mats.bsdf_coefficients(hit.mat)
 
+    # textured lanes: modulate kd by the diffuse map, perturb the shading
+    # normal by the tangent-space normal map (material/Texture.cu)
+    ns_in = hit.ns
+    from ..scene.types import TEXTURED
+    if scene.has_textures:
+        from ..scene.texture import apply_normal_map, sample_bilinear
+        tex_id = mats.texture_id[hit.mat]
+        textured = (kind == TEXTURED) & (tex_id >= 0)
+        tex_rgb = sample_bilinear(scene.textures, tex_id, hit.uv)
+        kd = jnp.where(textured[..., None], kd * tex_rgb, kd)
+        if scene.normal_maps is not None and scene.normal_maps.shape[0] > 0:
+            nm_id = mats.normal_map_id[hit.mat]
+            has_nm = textured & (nm_id >= 0)
+            g = scene.geometry
+            tri = jnp.clip(hit.prim, 0, g.n_triangles - 1)
+            nm_rgb = sample_bilinear(scene.normal_maps, nm_id, hit.uv)
+            perturbed = apply_normal_map(hit.ns, g.tri_tangent[tri],
+                                         g.tri_bitangent[tri], nm_rgb)
+            ns_in = jnp.where(has_nm[..., None], perturbed, hit.ns)
+
     # glass hit from inside: flip normals, swap IOR pair (Glass.cu:261-264)
     from_outside = dot(hit.ng, incoming_dir) < 0.0
     flip = (kind == GLASS) & ~from_outside
-    ns = jnp.where(flip[..., None], -hit.ns, hit.ns)
+    ns = jnp.where(flip[..., None], -ns_in, ns_in)
     ng = jnp.where(flip[..., None], -hit.ng, hit.ng)
     ior_eff = jnp.where(flip, 1.0 / ior, ior)
 

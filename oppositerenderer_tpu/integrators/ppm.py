@@ -65,6 +65,7 @@ class HitpointBuffer:
     attenuation: Array  # [N,3] specular-chain throughput
     radiance: Array     # [N,3] emitter radiance picked up on the walk
     mat: Array          # [N] material id at the stored hit
+    kd: Array           # [N,3] diffuse reflectance (texture-modulated)
     ns: Array           # [N,3] shading normal
     ng: Array           # [N,3] geometric normal
     found: Array        # [N] bool: stored a non-specular hit
@@ -89,7 +90,8 @@ def trace_eye_pass(scene: Scene, camera: Camera, cfg: RenderConfig,
     hp = HitpointBuffer(
         position=jnp.zeros((n, 3)), wo=jnp.zeros((n, 3)),
         attenuation=jnp.ones((n, 3)), radiance=jnp.zeros((n, 3)),
-        mat=jnp.zeros((n,), jnp.int32), ns=jnp.zeros((n, 3)),
+        mat=jnp.zeros((n,), jnp.int32), kd=jnp.zeros((n, 3)),
+        ns=jnp.zeros((n, 3)),
         ng=jnp.zeros((n, 3)), found=jnp.zeros((n,), jnp.bool_),
         hit_emitter=jnp.zeros((n,), jnp.bool_),
         specular_chain=jnp.zeros((n,), jnp.bool_))
@@ -119,6 +121,7 @@ def trace_eye_pass(scene: Scene, camera: Camera, cfg: RenderConfig,
             position=jnp.where(sel, hit.position, hp.position),
             wo=jnp.where(sel, -d, hp.wo),
             mat=jnp.where(store, hit.mat, hp.mat),
+            kd=jnp.where(sel, bsdf.kd, hp.kd),
             ns=jnp.where(sel, bsdf.frame.n, hp.ns),
             ng=jnp.where(sel, bsdf.ng, hp.ng),
             found=hp.found | store)
@@ -313,8 +316,7 @@ def render_iteration(scene: Scene, camera: Camera, cfg: RenderConfig,
         accum_power, gather_stats = gather_stochastic_hash(
             h, hp.position, hp.ns, radius)
 
-    kd = scene.materials.kd[hp.mat]
-    brdf = kd / jnp.pi  # reference uses kd (module docstring)
+    brdf = hp.kd / jnp.pi  # reference uses kd (module docstring)
     indirect = (accum_power * brdf * hp.attenuation
                 / (jnp.pi * radius_sq * cfg.photons_per_iteration))
     indirect = jnp.where(hp.found[:, None], indirect, 0.0)
@@ -323,7 +325,7 @@ def render_iteration(scene: Scene, camera: Camera, cfg: RenderConfig,
     kd_l, ks_l, exp_l, kr_l, kt_l, ior_l, diel_l = \
         scene.materials.bsdf_coefficients(hp.mat)
     from ..bsdf import BSDF
-    hp_bsdf = BSDF.make(hp.ns, hp.ng, hp.wo, kd_l, ks_l, exp_l, kr_l,
+    hp_bsdf = BSDF.make(hp.ns, hp.ng, hp.wo, hp.kd, ks_l, exp_l, kr_l,
                         kt_l, ior_l, diel_l)
     s_est = LaneSampler(est_key, pixel_lanes)
     direct = nee_direct(scene, hp_bsdf, hp.position, hp.found, s_est,

@@ -110,8 +110,7 @@ def _ppm_shard(scene, camera, cfg, it, key, radius_sq, eps, px_s, py_s,
         grid, hp.position, hp.ns, radius, max_cells_per_axis=4,
         budget_per_run=cfg.gather_max_photons_per_cell)
 
-    kd = scene.materials.kd[hp.mat]
-    indirect = (accum_power * (kd / jnp.pi) * hp.attenuation
+    indirect = (accum_power * (hp.kd / jnp.pi) * hp.attenuation
                 / (jnp.pi * radius_sq * cfg.photons_per_iteration))
     indirect = jnp.where(hp.found[:, None], indirect, 0.0)
 
@@ -120,8 +119,8 @@ def _ppm_shard(scene, camera, cfg, it, key, radius_sq, eps, px_s, py_s,
     from ..integrators.common import nee_direct
     kd_l, ks_l, exp_l, kr_l, kt_l, ior_l, diel_l = \
         scene.materials.bsdf_coefficients(hp.mat)
-    hp_bsdf = BSDF.make(hp.ns, hp.ng, hp.wo, kd_l, ks_l, exp_l, kr_l, kt_l,
-                        ior_l, diel_l)
+    hp_bsdf = BSDF.make(hp.ns, hp.ng, hp.wo, hp.kd, ks_l, exp_l, kr_l,
+                        kt_l, ior_l, diel_l)
     s_est = LaneSampler(est_key, lanes_s)
     direct = nee_direct(scene, hp_bsdf, hp.position, hp.found, s_est,
                         cfg.ppm_direct_shadow_samples, eps)

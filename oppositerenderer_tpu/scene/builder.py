@@ -21,6 +21,8 @@ class SceneBuilder:
         self._tris: list[tuple] = []     # (v0,v1,v2,n0,n1,n2,uv0,uv1,uv2,mat)
         self._spheres: list[tuple] = []  # (center, radius, mat)
         self._lights: list[dict] = []
+        self._textures: list = []      # np images for the diffuse atlas
+        self._normal_maps: list = []
         self._aabb_min = np.full(3, np.inf, np.float32)
         self._aabb_max = np.full(3, -np.inf, np.float32)
 
@@ -61,6 +63,15 @@ class SceneBuilder:
         lemit = np.asarray(power, np.float32) * inverse_area / np.pi
         return self._add_material(kind=EMITTER, kd=kd, emission=tuple(lemit),
                                   light_index=light_idx)
+
+    def add_texture_image(self, image) -> int:
+        """Register a diffuse texture image (np [H,W,3] in [0,1])."""
+        self._textures.append(image)
+        return len(self._textures) - 1
+
+    def add_normal_map_image(self, image) -> int:
+        self._normal_maps.append(image)
+        return len(self._normal_maps) - 1
 
     def add_textured(self, kd, texture_id: int,
                      normal_map_id: int = -1) -> int:
@@ -135,11 +146,19 @@ class SceneBuilder:
             return jnp.asarray(np.stack([t[idx] for t in self._tris]))
 
         v0, v1, v2 = (np.stack([t[i] for t in self._tris]) for i in range(3))
+        from .texture import build_atlas, compute_triangle_tangents
+        uv0 = np.stack([t[6] for t in self._tris])
+        uv1 = np.stack([t[7] for t in self._tris])
+        uv2 = np.stack([t[8] for t in self._tris])
+        tangent, bitangent = compute_triangle_tangents(v0, v1, v2,
+                                                       uv0, uv1, uv2)
         geom = Geometry(
             tri_v0=jnp.asarray(v0), tri_e1=jnp.asarray(v1 - v0),
             tri_e2=jnp.asarray(v2 - v0),
             tri_n0=stack(3), tri_n1=stack(4), tri_n2=stack(5),
             tri_uv0=stack(6), tri_uv1=stack(7), tri_uv2=stack(8),
+            tri_tangent=jnp.asarray(tangent),
+            tri_bitangent=jnp.asarray(bitangent),
             tri_mat=jnp.asarray([t[9] for t in self._tris], jnp.int32),
             sph_center=(jnp.asarray(np.stack([s[0] for s in self._spheres]))
                         if self._spheres else jnp.zeros((0, 3), jnp.float32)),
@@ -169,4 +188,6 @@ class SceneBuilder:
         return Scene(geometry=geom, materials=mt, lights=lights,
                      aabb_min=jnp.asarray(self._aabb_min - aabb_padding),
                      aabb_max=jnp.asarray(self._aabb_max + aabb_padding),
+                     textures=build_atlas(self._textures),
+                     normal_maps=build_atlas(self._normal_maps),
                      name=self.name)

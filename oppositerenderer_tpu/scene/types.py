@@ -83,6 +83,8 @@ class Geometry:
     tri_uv0: Array  # [T,2]
     tri_uv1: Array  # [T,2]
     tri_uv2: Array  # [T,2]
+    tri_tangent: Array    # [T,3] per-face tangent (normal mapping)
+    tri_bitangent: Array  # [T,3]
     tri_mat: Array  # [T] int32
     sph_center: Array  # [S,3]
     sph_radius: Array  # [S]
@@ -104,7 +106,13 @@ class Scene:
     lights: LightTable
     aabb_min: Array  # [3]
     aabb_max: Array  # [3]
+    textures: Array = None       # [n_tex, R, R, 3] diffuse atlas
+    normal_maps: Array = None    # [n_nm, R, R, 3] normal-map atlas
     name: str = struct.field(pytree_node=False, default="scene")
+
+    @property
+    def has_textures(self) -> bool:
+        return self.textures is not None and self.textures.shape[0] > 0
 
     @property
     def bounding_sphere(self) -> tuple[Array, Array]:
