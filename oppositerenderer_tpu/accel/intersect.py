@@ -234,9 +234,37 @@ def _occluded_pallas(scene: Scene, o, d, tmin, tmax, interpret: bool):
     return occ
 
 
+def _closest_hit_bvh(scene: Scene, o, d, tmin, tmax):
+    from .bvh import traverse
+    t, idx, bu, bv, found = traverse(scene.bvh, scene.geometry, o, d,
+                                     tmin, tmax)
+    T = scene.geometry.n_triangles
+    best_tri = jnp.clip(idx, 0, T - 1)
+    t_best_tri = jnp.where(found, t, BIG)
+    return _finalize_hit(scene, o, d, tmin, tmax, t_best_tri, best_tri,
+                         bu, bv)
+
+
+def _occluded_bvh(scene: Scene, o, d, tmin, tmax):
+    from .bvh import traverse_any
+    g = scene.geometry
+    is_emitter = scene.materials.kind == EMITTER
+    occluder = ~is_emitter[g.tri_mat]
+    occ = traverse_any(scene.bvh, g, occluder, o, d, tmin, tmax)
+    if g.n_spheres > 0:
+        _, ok_sph = _sphere_hits(o, d, g.sph_center, g.sph_radius,
+                                 tmin, tmax)
+        occ = occ | jnp.any(ok_sph & ~is_emitter[g.sph_mat][None, :],
+                            axis=1)
+    return occ
+
+
 def intersect(scene: Scene, o: Array, d: Array, tmin: Array, tmax: Array,
               chunk_size: int = 16384) -> Hit:
-    """Closest hit for rays [N,3] against the whole scene (brute force)."""
+    """Closest hit for rays [N,3] against the whole scene. Uses the scene's
+    BVH when present (big scenes), else dense brute force."""
+    if scene.bvh is not None:
+        return _closest_hit_bvh(scene, o, d, tmin, tmax)
     if _BACKEND.startswith("pallas"):
         return _closest_hit_pallas(scene, o, d, tmin, tmax,
                                    interpret=_BACKEND.endswith("interpret"))
@@ -247,6 +275,8 @@ def intersect(scene: Scene, o: Array, d: Array, tmin: Array, tmax: Array,
 def occluded(scene: Scene, o: Array, d: Array, tmin: Array, tmax: Array,
              chunk_size: int = 16384) -> Array:
     """Shadow-ray test [N] -> bool. Emitter surfaces never occlude."""
+    if scene.bvh is not None:
+        return _occluded_bvh(scene, o, d, tmin, tmax)
     if _BACKEND.startswith("pallas"):
         return _occluded_pallas(scene, o, d, tmin, tmax,
                                 interpret=_BACKEND.endswith("interpret"))

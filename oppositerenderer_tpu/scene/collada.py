@@ -45,15 +45,24 @@ def _parse_ints(text: str) -> np.ndarray:
                       np.int64)
 
 
+BVH_AUTO_THRESHOLD = 2048  # tris above which loaders attach a BVH
+
+
 def load_scene_file(path: str | Path) -> tuple[Scene, Camera]:
     path = Path(path)
     if not path.exists():
         raise FileNotFoundError(f"scene file not found: {path}")
     if path.suffix.lower() in (".dae", ".xml"):
-        return load_collada(path)
-    if path.suffix.lower() == ".obj":
-        return load_obj(path)
-    raise ValueError(f"unsupported scene format: {path.suffix}")
+        scene, cam = load_collada(path)
+    elif path.suffix.lower() == ".obj":
+        scene, cam = load_obj(path)
+    else:
+        raise ValueError(f"unsupported scene format: {path.suffix}")
+    if scene.geometry.n_triangles > BVH_AUTO_THRESHOLD:
+        from ..accel.bvh import build_scene_bvh
+        scene, bvh = build_scene_bvh(scene)
+        scene = scene.replace(bvh=bvh)
+    return scene, cam
 
 
 # ---------------------------------------------------------------------------

@@ -108,6 +108,7 @@ class Scene:
     aabb_max: Array  # [3]
     textures: Array = None       # [n_tex, R, R, 3] diffuse atlas
     normal_maps: Array = None    # [n_nm, R, R, 3] normal-map atlas
+    bvh: object = None           # accel.bvh.Bvh when built (big scenes)
     name: str = struct.field(pytree_node=False, default="scene")
 
     @property
