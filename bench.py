@@ -30,8 +30,11 @@ def main():
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--method", default="pt", choices=["pt", "ppm", "vcm"])
-    ap.add_argument("--pallas", action="store_true",
-                    help="use the Pallas TPU intersection kernels")
+    ap.add_argument("--pallas", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="Pallas TPU intersection kernels (default: auto)")
+    ap.add_argument("--cheap-rng", action="store_true",
+                    help="hash RNG (USE_CHEAP_RANDOM analog)")
     args = ap.parse_args()
 
     from oppositerenderer_tpu.config import RenderConfig, RenderMethod
@@ -45,9 +48,15 @@ def main():
               "ppm": RenderMethod.PROGRESSIVE_PHOTON_MAPPING,
               "vcm": RenderMethod.VCM_BIDIRECTIONAL_PATH_TRACING}[args.method]
 
-    if args.pallas:
+    use_pallas = args.pallas
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
         from oppositerenderer_tpu.accel import set_backend
         set_backend("pallas")
+    if args.cheap_rng:
+        from oppositerenderer_tpu.core.rng import set_rng_mode
+        set_rng_mode("cheap")
 
     scene, camera = make_cornell_small()
     cfg = RenderConfig(width=size, height=size, render_method=method,

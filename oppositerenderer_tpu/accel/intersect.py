@@ -207,7 +207,8 @@ def _chunked(fn, chunk_size: int, n_out_leaves_hint=None):
 
 
 def _closest_hit_pallas(scene: Scene, o, d, tmin, tmax, interpret: bool):
-    from .pallas_intersect import closest_hit_tris, tri9_from_geometry
+    from .pallas_intersect import tri9_from_geometry
+    from .pallas_intersect_t import closest_hit_tris
     tri9 = tri9_from_geometry(scene.geometry)
     t, idx, bu, bv = closest_hit_tris(o, d, tmin, tmax, tri9,
                                       interpret=interpret)
@@ -219,7 +220,8 @@ def _closest_hit_pallas(scene: Scene, o, d, tmin, tmax, interpret: bool):
 
 
 def _occluded_pallas(scene: Scene, o, d, tmin, tmax, interpret: bool):
-    from .pallas_intersect import occluded_tris, tri9_from_geometry
+    from .pallas_intersect import tri9_from_geometry
+    from .pallas_intersect_t import occluded_tris
     g = scene.geometry
     tri9 = tri9_from_geometry(g)
     is_emitter = scene.materials.kind == EMITTER
@@ -259,8 +261,20 @@ def _occluded_bvh(scene: Scene, o, d, tmin, tmax):
     return occ
 
 
+# total [chunk x T] elements the dense path may materialize at once.
+# Note: measured end-to-end on TPU v5e, the 16384-ray chunking is FASTER
+# than one big launch at Cornell sizes (36 vs 24 Mrays/s) — the chunked
+# lax.map pipelines better — so the budget only shrinks chunks for big T.
+CHUNK_ELEMENT_BUDGET = 1 << 25
+
+
+def _auto_chunk(n_rays: int, n_prims: int) -> int:
+    per_ray = max(n_prims, 1)
+    return int(min(16384, max(1024, CHUNK_ELEMENT_BUDGET // per_ray)))
+
+
 def intersect(scene: Scene, o: Array, d: Array, tmin: Array, tmax: Array,
-              chunk_size: int = 16384) -> Hit:
+              chunk_size: int | None = None) -> Hit:
     """Closest hit for rays [N,3] against the whole scene. Uses the scene's
     BVH when present (big scenes), else dense brute force."""
     if scene.bvh is not None:
@@ -268,17 +282,21 @@ def intersect(scene: Scene, o: Array, d: Array, tmin: Array, tmax: Array,
     if _BACKEND.startswith("pallas"):
         return _closest_hit_pallas(scene, o, d, tmin, tmax,
                                    interpret=_BACKEND.endswith("interpret"))
+    if chunk_size is None:
+        chunk_size = _auto_chunk(o.shape[0], scene.geometry.n_triangles)
     return _chunked(partial(_closest_hit_chunk, scene), chunk_size)(
         o, d, tmin, tmax)
 
 
 def occluded(scene: Scene, o: Array, d: Array, tmin: Array, tmax: Array,
-             chunk_size: int = 16384) -> Array:
+             chunk_size: int | None = None) -> Array:
     """Shadow-ray test [N] -> bool. Emitter surfaces never occlude."""
     if scene.bvh is not None:
         return _occluded_bvh(scene, o, d, tmin, tmax)
     if _BACKEND.startswith("pallas"):
         return _occluded_pallas(scene, o, d, tmin, tmax,
                                 interpret=_BACKEND.endswith("interpret"))
+    if chunk_size is None:
+        chunk_size = _auto_chunk(o.shape[0], scene.geometry.n_triangles)
     return _chunked(partial(_occluded_chunk, scene), chunk_size)(
         o, d, tmin, tmax)

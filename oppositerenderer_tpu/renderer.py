@@ -75,7 +75,12 @@ class Renderer:
     def _step_fn(self):
         """Build + cache the jitted per-iteration render step."""
         from .accel import set_backend
-        set_backend("pallas" if self.cfg.use_pallas else "jnp")
+        from .core.rng import set_rng_mode
+        use_pallas = self.cfg.use_pallas
+        if use_pallas is None:   # auto: kernels on TPU
+            use_pallas = jax.default_backend() == "tpu"
+        set_backend("pallas" if use_pallas else "jnp")
+        set_rng_mode("cheap" if self.cfg.use_cheap_random else "threefry")
         method = self.cfg.render_method
         cache_key = (method, self.cfg)
         if cache_key in self._compiled:
