@@ -80,6 +80,10 @@ class RenderConfig:
     # disables RR, making finite-difference gradient checks well-conditioned)
     vcm_force_continuation_prob: float | None = None
 
+    # --- participating media (reference config.h:29, default off;
+    #     active when the scene carries a Medium) ---
+    media_max_deposits_per_photon: int = 2   # volumetric deposit slots/path
+
     # --- epsilons (reference config.h:41-43) ---
     ray_len_min: float = 1e-4                     # RAY_LEN_MIN
     eps_cosine: float = 1e-6                      # EPS_COSINE

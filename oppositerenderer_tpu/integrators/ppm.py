@@ -72,6 +72,10 @@ class HitpointBuffer:
     # flags mirroring RadiancePRD bits
     hit_emitter: Array  # [N]
     specular_chain: Array  # [N] passed through >=1 specular vertex
+    # participating-media sample on the camera segment (zeros when no medium)
+    vol_point: Array    # [N,3] sampled in-medium point
+    vol_t: Array        # [N] distance into the medium at the sample
+    vol_len: Array      # [N] in-medium overlap length of the segment
 
 
 # ---------------------------------------------------------------------------
@@ -94,7 +98,9 @@ def trace_eye_pass(scene: Scene, camera: Camera, cfg: RenderConfig,
         ns=jnp.zeros((n, 3)),
         ng=jnp.zeros((n, 3)), found=jnp.zeros((n,), jnp.bool_),
         hit_emitter=jnp.zeros((n,), jnp.bool_),
-        specular_chain=jnp.zeros((n,), jnp.bool_))
+        specular_chain=jnp.zeros((n,), jnp.bool_),
+        vol_point=jnp.zeros((n, 3)), vol_t=jnp.zeros((n,)),
+        vol_len=jnp.zeros((n,)))
     walking = jnp.ones((n,), jnp.bool_)
 
     def eye_step(carry, depth):
@@ -106,6 +112,27 @@ def trace_eye_pass(scene: Scene, camera: Camera, cfg: RenderConfig,
         live = walking & hit.hit
         bsdf, is_emitter, emitter_rad = bsdf_at_hit(scene, hit, d)
         is_spec = bsdf.is_specular() & ~is_emitter
+
+        if scene.medium is not None:
+            # transmittance over the in-medium part of this segment
+            # (ParticipatingMedium.cu:66-93) + one distance-sampled
+            # volumetric gather point on the camera segment (depth 0)
+            from .media import segment_overlap, transmittance
+            t_seg = jnp.where(hit.hit, hit.t, 0.0)
+            t_enter, overlap = segment_overlap(scene.medium, o, d, t_seg)
+            tr = transmittance(scene.medium, overlap)
+            hp = hp.replace(attenuation=jnp.where(
+                walking[:, None], hp.attenuation * tr[:, None],
+                hp.attenuation))
+            u_v = skey.next1()
+            t_v = u_v * overlap
+            primary = depth == 0
+            sel_v = (walking & primary)[:, None]
+            hp = hp.replace(
+                vol_point=jnp.where(
+                    sel_v, o + (t_enter + t_v)[:, None] * d, hp.vol_point),
+                vol_t=jnp.where(walking & primary, t_v, hp.vol_t),
+                vol_len=jnp.where(walking & primary, overlap, hp.vol_len))
 
         # emitter: pick up radiance, stop (DiffuseEmitter.cu:40-52)
         em = live & is_emitter
@@ -215,10 +242,18 @@ def trace_photon_pass(scene: Scene, cfg: RenderConfig, key: Array, eps,
     lane = jnp.arange(n, dtype=jnp.int32)
     path_len = jnp.zeros((n,), jnp.int32)
 
+    vmax = cfg.media_max_deposits_per_photon
+    vcap = n * vmax
+    vol = dict(pos=jnp.zeros((vcap + 1, 3)), pow=jnp.zeros((vcap + 1, 3)),
+               dir=jnp.zeros((vcap + 1, 3)),
+               valid=jnp.zeros((vcap + 1,), jnp.bool_),
+               stored=jnp.zeros((n,), jnp.int32))
+
     from ..scene.types import EMITTER
 
     def photon_step(carry, depth):
-        o, d, power, ppos, ppow, pdir, pvalid, stored, alive, path_len = carry
+        (o, d, power, ppos, ppow, pdir, pvalid, stored, alive, path_len,
+         vol) = carry
         skey = LaneSampler(jax.random.fold_in(key, 2000 + depth),
                            lane_ids)
         hit = intersect(scene, o, d, jnp.full((n,), 1.0) * eps,
@@ -227,6 +262,30 @@ def trace_photon_pass(scene: Scene, cfg: RenderConfig, key: Array, eps,
         live = alive & hit.hit & (kind != EMITTER)  # emitters absorb
         bsdf, _, _ = bsdf_at_hit(scene, hit, d)
         is_spec = bsdf.is_specular()
+
+        scatter = jnp.zeros((n,), jnp.bool_)
+        if scene.medium is not None:
+            # free-flight sampling: scatter inside the medium before the
+            # surface (ParticipatingMedium.cu:110-201, analog random walk)
+            from .media import sample_scatter_distance, segment_overlap
+            t_seg = jnp.where(hit.hit, hit.t, BIG)
+            t_enter, overlap = segment_overlap(scene.medium, o, d, t_seg)
+            delta, _pdf = sample_scatter_distance(scene.medium, skey.next1())
+            scatter = alive & (delta < overlap)
+            sp = o + (t_enter + delta)[:, None] * d
+            # deposit a volumetric photon (power before the albedo multiply)
+            vdep = scatter & (vol["stored"] < vmax)
+            vslot = jnp.where(vdep, lane * vmax + vol["stored"], vcap)
+            vol = dict(pos=vol["pos"].at[vslot].set(sp, mode="drop"),
+                       pow=vol["pow"].at[vslot].set(power, mode="drop"),
+                       dir=vol["dir"].at[vslot].set(d, mode="drop"),
+                       valid=vol["valid"].at[vslot].set(True, mode="drop"),
+                       stored=vol["stored"] + vdep.astype(jnp.int32))
+            albedo = scene.medium.sigma_s / jnp.maximum(
+                scene.medium.sigma_t, 1e-12)
+            power = jnp.where(scatter[:, None], power * albedo, power)
+            new_dir, _ = sample_unit_sphere(skey.next2())
+            live = live & ~scatter   # scattered lanes skip surface logic
 
         # deposit at non-specular hits from depth>=1 (Diffuse.cu:98-103)
         deposit = live & ~is_spec & (depth >= 1) & (stored < max_dep)
@@ -258,21 +317,32 @@ def trace_photon_pass(scene: Scene, cfg: RenderConfig, key: Array, eps,
 
         o = jnp.where(live[:, None], hit.position, o)
         d = jnp.where(live[:, None], res.world_dir, d)
-        path_len = path_len + live.astype(jnp.int32)
-        alive = live
+        if scene.medium is not None:
+            o = jnp.where(scatter[:, None], sp, o)
+            d = jnp.where(scatter[:, None], new_dir, d)
+        alive = live | scatter
+        path_len = path_len + alive.astype(jnp.int32)
         return (o, d, power, ppos, ppow, pdir, pvalid, stored, alive,
-                path_len), None
+                path_len, vol), None
 
-    carry = (o, d, power, ppos, ppow, pdir, pvalid, stored, alive, path_len)
+    carry = (o, d, power, ppos, ppow, pdir, pvalid, stored, alive, path_len,
+             vol)
     carry, _ = jax.lax.scan(photon_step, carry,
                             jnp.arange(cfg.max_photon_trace_depth))
-    (o, d, power, ppos, ppow, pdir, pvalid, stored, alive, path_len) = carry
+    (o, d, power, ppos, ppow, pdir, pvalid, stored, alive, path_len,
+     vol) = carry
 
     photons = PhotonBatch(position=ppos[:cap], power=ppow[:cap],
                           direction=pdir[:cap], valid=pvalid[:cap])
+    vol_photons = PhotonBatch(position=vol["pos"][:vcap],
+                              power=vol["pow"][:vcap],
+                              direction=vol["dir"][:vcap],
+                              valid=vol["valid"][:vcap])
     stats = dict(photons_stored=jnp.sum(stored),
                  avg_photon_path_length=jnp.mean(path_len.astype(jnp.float32)))
-    return photons, stats
+    if scene.medium is not None:
+        stats["volumetric_photons_stored"] = jnp.sum(vol["stored"])
+    return photons, vol_photons, stats
 
 
 # ---------------------------------------------------------------------------
@@ -299,8 +369,8 @@ def render_iteration(scene: Scene, camera: Camera, cfg: RenderConfig,
 
     # 2-3. photon pass + map build
     photon_lanes = jnp.arange(cfg.photons_per_iteration, dtype=jnp.int32)
-    photons, photon_stats = trace_photon_pass(scene, cfg, photon_key, eps,
-                                              photon_lanes)
+    photons, vol_photons, photon_stats = trace_photon_pass(
+        scene, cfg, photon_key, eps, photon_lanes)
 
     # 4. indirect estimation at hitpoints
     if cfg.photon_map_structure == PhotonMapStructure.SORTED_UNIFORM_GRID:
@@ -334,8 +404,25 @@ def render_iteration(scene: Scene, camera: Camera, cfg: RenderConfig,
     # emitter/specular/miss pixels pass stored radiance through (no clamp)
     passthrough = hp.radiance
 
+    # 5b. volumetric in-scatter on the camera segment (media redesign:
+    # distance-sampled point gather, integrators/media.py docstring)
+    volumetric = jnp.zeros((n, 3))
+    if scene.medium is not None:
+        from .media import volumetric_radiance_estimate
+        vol_radius = radius * 3.0   # volume density needs a larger support
+        vgrid = build_photon_grid(vol_photons, cfg.photon_grid_resolution)
+        vpow, _ = gather_photons(vgrid, hp.vol_point, hp.ns, vol_radius,
+                                 max_cells_per_axis=4,
+                                 budget_per_run=cfg.gather_max_photons_per_cell,
+                                 check_normal=False)
+        volumetric = volumetric_radiance_estimate(
+            scene.medium, vpow, vol_radius, hp.vol_len, hp.vol_t,
+            cfg.photons_per_iteration)
+        volumetric = jnp.where((hp.vol_len > 0)[:, None], volumetric, 0.0)
+
     # 6. output
-    radiance = (direct + indirect + passthrough).reshape(H, W, 3)
+    radiance = (direct + indirect + passthrough + volumetric
+                ).reshape(H, W, 3)
     stats = dict(**photon_stats,
                  **{k: jnp.sum(v) for k, v in gather_stats.items()})
     return radiance, stats

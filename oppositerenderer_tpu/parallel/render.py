@@ -99,8 +99,8 @@ def _ppm_shard(scene, camera, cfg, it, key, radius_sq, eps, px_s, py_s,
 
     hp = ppm.trace_eye_pass(scene, camera, cfg, eye_key, eps, px_s, py_s,
                             lanes_s)
-    photons_local, pstats = ppm.trace_photon_pass(scene, cfg, photon_key,
-                                                  eps, photon_lanes_s)
+    photons_local, vol_local, pstats = ppm.trace_photon_pass(
+        scene, cfg, photon_key, eps, photon_lanes_s)
     # exchange photons over ICI so every device sees the full map
     gathered = jax.tree_util.tree_map(
         lambda a: jax.lax.all_gather(a, TILE_AXIS, tiled=True),
@@ -126,7 +126,24 @@ def _ppm_shard(scene, camera, cfg, it, key, radius_sq, eps, px_s, py_s,
                         cfg.ppm_direct_shadow_samples, eps)
     direct = jnp.where(hp.found[:, None], hp.attenuation * direct, 0.0)
 
-    rad = direct + indirect + hp.radiance
+    volumetric = jnp.zeros_like(direct)
+    if scene.medium is not None:
+        from ..integrators.media import volumetric_radiance_estimate
+        vol_all = jax.tree_util.tree_map(
+            lambda a: jax.lax.all_gather(a, TILE_AXIS, tiled=True),
+            vol_local)
+        vol_radius = radius * 3.0
+        vgrid = build_photon_grid(vol_all, cfg.photon_grid_resolution)
+        vpow, _ = gather_photons(
+            vgrid, hp.vol_point, hp.ns, vol_radius, max_cells_per_axis=4,
+            budget_per_run=cfg.gather_max_photons_per_cell,
+            check_normal=False)
+        volumetric = volumetric_radiance_estimate(
+            scene.medium, vpow, vol_radius, hp.vol_len, hp.vol_t,
+            cfg.photons_per_iteration)
+        volumetric = jnp.where((hp.vol_len > 0)[:, None], volumetric, 0.0)
+
+    rad = direct + indirect + hp.radiance + volumetric
     stats = {k: jax.lax.psum(jnp.sum(v), TILE_AXIS)
              for k, v in {**pstats, **gstats}.items()}
     return rad, stats

@@ -112,7 +112,7 @@ def gaussian_kernel_weight(distance2: Array, radius2: Array) -> Array:
 
 def gather_photons(grid: PhotonGrid, position: Array, normal: Array,
                    radius: Array, *, max_cells_per_axis: int = 4,
-                   budget_per_run: int = 64):
+                   budget_per_run: int = 64, check_normal: bool = True):
     """Accumulate kernel-weighted photon power within ``radius`` of each
     query point [N,3].
 
@@ -161,9 +161,11 @@ def gather_photons(grid: PhotonGrid, position: Array, normal: Array,
             diff = position[..., None, :] - ppos
             d2 = dot(diff, diff)
             # validity: in radius + photon direction opposes the normal
-            # (IndirectRadianceEstimation.cu:55-58)
-            ok_p = (in_run & (d2 <= radius2[..., None])
-                    & (dot(-pdir, normal[..., None, :]) >= 0.0))
+            # (IndirectRadianceEstimation.cu:55-58); volumetric gathers
+            # skip the normal test
+            ok_p = in_run & (d2 <= radius2[..., None])
+            if check_normal:
+                ok_p = ok_p & (dot(-pdir, normal[..., None, :]) >= 0.0)
             w = gaussian_kernel_weight(d2, radius2[..., None])
             accum = accum + jnp.sum(
                 jnp.where(ok_p[..., None], ppow * w[..., None], 0.0),

@@ -23,6 +23,7 @@ class SceneBuilder:
         self._lights: list[dict] = []
         self._textures: list = []      # np images for the diffuse atlas
         self._normal_maps: list = []
+        self._medium = None
         self._aabb_min = np.full(3, np.inf, np.float32)
         self._aabb_max = np.full(3, -np.inf, np.float32)
 
@@ -130,6 +131,12 @@ class SceneBuilder:
             self.add_triangle(vertices[f[0]], vertices[f[1]], vertices[f[2]],
                               material, **kw)
 
+    def set_medium(self, sigma_s: float, sigma_a: float, aabb_min=None,
+                   aabb_max=None):
+        """Attach a homogeneous participating medium (scene-covering box by
+        default, like the reference's AABInstance in Cornell.cpp:175-179)."""
+        self._medium = (float(sigma_s), float(sigma_a), aabb_min, aabb_max)
+
     def add_sphere(self, center, radius: float, material: int):
         c = np.asarray(center, np.float32)
         self._spheres.append((c, float(radius), material))
@@ -185,7 +192,19 @@ class SceneBuilder:
                                        for m in self._materials], jnp.int32),
         )
         lights = build_light_table(self._lights)
+        medium = None
+        if self._medium is not None:
+            from .types import Medium
+            ss, sa, mmin, mmax = self._medium
+            medium = Medium(
+                sigma_s=jnp.asarray(ss, jnp.float32),
+                sigma_a=jnp.asarray(sa, jnp.float32),
+                aabb_min=jnp.asarray(
+                    self._aabb_min if mmin is None else mmin, jnp.float32),
+                aabb_max=jnp.asarray(
+                    self._aabb_max if mmax is None else mmax, jnp.float32))
         return Scene(geometry=geom, materials=mt, lights=lights,
+                     medium=medium,
                      aabb_min=jnp.asarray(self._aabb_min - aabb_padding),
                      aabb_max=jnp.asarray(self._aabb_max + aabb_padding),
                      textures=build_atlas(self._textures),

@@ -100,6 +100,22 @@ class Geometry:
 
 
 @struct.dataclass
+class Medium:
+    """Homogeneous participating medium over an AABB (the reference's
+    ParticipatingMedium material on an AAB instance covering the scene,
+    material/ParticipatingMedium.{h,cu}; flag-gated default-off)."""
+
+    sigma_s: Array   # [] scattering coefficient
+    sigma_a: Array   # [] absorption coefficient
+    aabb_min: Array  # [3]
+    aabb_max: Array  # [3]
+
+    @property
+    def sigma_t(self) -> Array:
+        return self.sigma_s + self.sigma_a
+
+
+@struct.dataclass
 class Scene:
     geometry: Geometry
     materials: MaterialTable
@@ -109,6 +125,7 @@ class Scene:
     textures: Array = None       # [n_tex, R, R, 3] diffuse atlas
     normal_maps: Array = None    # [n_nm, R, R, 3] normal-map atlas
     bvh: object = None           # accel.bvh.Bvh when built (big scenes)
+    medium: Medium | None = None  # participating medium (None = off)
     name: str = struct.field(pytree_node=False, default="scene")
 
     @property
