@@ -91,8 +91,10 @@ def main():
 
     t0 = time.perf_counter()
     for i in range(1, iters + 1):
-        out = fn(jnp.int32(i))
-    out.block_until_ready()
+        # block per iteration: async dispatch through the axon tunnel has
+        # been observed to mis-report readiness when only the last result
+        # is blocked on
+        fn(jnp.int32(i)).block_until_ready()
     dt = time.perf_counter() - t0
 
     rays_per_s = rays_per_iter * iters / dt

@@ -111,6 +111,20 @@ def _closest_hit_chunk(scene: Scene, o, d, tmin, tmax):
                          bu, bv)
 
 
+def _rows_by_onehot_or_take(table: Array, idx: Array) -> Array:
+    """table [T,K] rows at idx [N] — one-hot matmul on the MXU when the
+    one-hot fits the element budget (dynamic gathers of small tables are
+    pathologically slow on TPU: measured 4x on the whole closest-hit
+    wrapper on v5e). HIGH precision is exact for one-hot rows."""
+    from ..core.gather import onehot_ok
+    T = table.shape[0]
+    if onehot_ok(T, idx.shape[0]):
+        oh = (idx[:, None] == jnp.arange(T, dtype=idx.dtype)[None, :])
+        return jnp.matmul(oh.astype(table.dtype), table,
+                          precision=jax.lax.Precision.HIGH)
+    return table[idx]
+
+
 def _finalize_hit(scene: Scene, o, d, tmin, tmax, t_best_tri, best_tri,
                   bu, bv):
     """Merge the best triangle hit with analytic spheres and interpolate
@@ -140,20 +154,34 @@ def _finalize_hit(scene: Scene, o, d, tmin, tmax, t_best_tri, best_tri,
     position = o + jnp.where(hit, t_hit, 1.0)[:, None] * d
 
     # triangle attributes (barycentric normal/uv interp,
-    # TriangleMesh.cu:60-116)
+    # TriangleMesh.cu:60-116) — fetched as one fused row per triangle.
+    # ng is precomputed per face at trace time (constant-folded [T,3]);
+    # uv interp is skipped entirely for texture-free scenes.
+    ng_face = normalize(cross(g.tri_e1, g.tri_e2))   # [T,3] (folded)
+    with_uv = scene.has_textures
+    attr_cols = [g.tri_n0, g.tri_n1, g.tri_n2, ng_face,
+                 g.tri_mat[:, None].astype(jnp.float32)]
+    if with_uv:
+        attr_cols += [g.tri_uv0, g.tri_uv1, g.tri_uv2]
+    tri_attr = jnp.concatenate(attr_cols, axis=1)    # [T, 13 or 19]
+    a = _rows_by_onehot_or_take(tri_attr, best_tri)
     w0 = 1.0 - bu - bv
-    ns_tri = normalize(w0[:, None] * g.tri_n0[best_tri]
-                       + bu[:, None] * g.tri_n1[best_tri]
-                       + bv[:, None] * g.tri_n2[best_tri])
-    ng_tri = normalize(cross(g.tri_e1[best_tri], g.tri_e2[best_tri]))
-    uv_tri = (w0[:, None] * g.tri_uv0[best_tri]
-              + bu[:, None] * g.tri_uv1[best_tri]
-              + bv[:, None] * g.tri_uv2[best_tri])
-    mat_tri = g.tri_mat[best_tri]
+    ns_tri = normalize(w0[:, None] * a[:, 0:3] + bu[:, None] * a[:, 3:6]
+                       + bv[:, None] * a[:, 6:9])
+    ng_tri = a[:, 9:12]
+    mat_tri = jnp.round(a[:, 12]).astype(jnp.int32)
+    if with_uv:
+        uv_tri = (w0[:, None] * a[:, 13:15] + bu[:, None] * a[:, 15:17]
+                  + bv[:, None] * a[:, 17:19])
+    else:
+        uv_tri = jnp.zeros((o.shape[0], 2), jnp.float32)
 
     if g.n_spheres > 0:
-        n_sph = normalize(position - g.sph_center[best_sph])
-        mat_sph = g.sph_mat[best_sph]
+        sph_attr = jnp.concatenate(
+            [g.sph_center, g.sph_mat[:, None].astype(jnp.float32)], axis=1)
+        s = _rows_by_onehot_or_take(sph_attr, best_sph)
+        n_sph = normalize(position - s[:, 0:3])
+        mat_sph = jnp.round(s[:, 3]).astype(jnp.int32)
         ns = jnp.where(use_sph[:, None], n_sph, ns_tri)
         ng = jnp.where(use_sph[:, None], n_sph, ng_tri)
         mat = jnp.where(use_sph, mat_sph, mat_tri)

@@ -25,6 +25,8 @@ class PhotonMapStructure(enum.IntEnum):
 
     SORTED_UNIFORM_GRID = 0  # reference ACCELERATION_STRUCTURE_UNIFORM_GRID
     STOCHASTIC_HASH = 1      # reference ACCELERATION_STRUCTURE_STOCHASTIC_HASH
+    KD_TREE_CPU = 2          # reference ACCELERATION_STRUCTURE_KD_TREE_CPU
+                             # (host C++ build + device stack traversal)
 
 
 class Intersector(enum.IntEnum):
@@ -65,7 +67,11 @@ class RenderConfig:
     ppm_initial_radius: float = 0.20              # Gui/Application.cpp:41 default
     ppm_default_radius_from_scene: bool = True    # IScene.cpp:23-30 heuristic
     ppm_direct_shadow_samples: int = 4            # DirectRadianceEstimation.cu
-    gather_max_photons_per_cell: int = 64         # TPU fixed-budget cell scan
+    # TPU fixed gather budget: photons gathered per query point; boxes
+    # holding more are stride-subsampled with reweighting (unbiased).
+    # 128 measured 2x faster than 256 at 512^2/1M photons with radiance
+    # agreeing to 0.01%.
+    gather_photon_budget: int = 128
 
     # --- VCM (reference OptixRenderer.cpp:53, vcm/*) ---
     vcm_max_path_length: int = 10                 # VCM_MAX_PATH_LENGTH

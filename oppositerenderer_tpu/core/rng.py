@@ -86,6 +86,52 @@ def _lowbias32(x: Array) -> Array:
     return x
 
 
+_TF_ROTS = ((13, 15, 26, 6), (17, 29, 16, 24))
+
+
+def _rotl(x: Array, r: int) -> Array:
+    return (x << r) | (x >> (32 - r))
+
+
+def threefry2x32(k0: Array, k1: Array, x0: Array, x1: Array):
+    """Threefry-2x32 (20 rounds), explicit counter mode.
+
+    Same construction JAX's PRNG uses, but applied directly to
+    (lane_id, column) counters: ONE pass yields two independent uint32
+    streams, vs. ~2 full passes per draw when going through
+    ``fold_in`` + ``uniform`` per decision point (measured 1.6 ms/bounce
+    for 8 draws at 262k lanes on v5e — the per-bounce RNG was as
+    expensive as the ray intersection).
+    """
+    k0 = k0.astype(jnp.uint32)
+    k1 = k1.astype(jnp.uint32)
+    x0 = x0.astype(jnp.uint32)
+    x1 = x1.astype(jnp.uint32)
+    ks = (k0, k1, k0 ^ k1 ^ jnp.uint32(0x1BD11BDA))
+    x0 = x0 + ks[0]
+    x1 = x1 + ks[1]
+    for d in range(5):
+        for r in _TF_ROTS[d % 2]:
+            x0 = x0 + x1
+            x1 = _rotl(x1, r)
+            x1 = x1 ^ x0
+        x0 = x0 + ks[(d + 1) % 3]
+        x1 = x1 + ks[(d + 2) % 3] + jnp.uint32(d + 1)
+    return x0, x1
+
+
+def _key_words(key: Array) -> tuple[Array, Array]:
+    kd = jax.random.key_data(key) if jnp.issubdtype(
+        key.dtype, jax.dtypes.prng_key) else key.astype(jnp.uint32)
+    kd = kd.reshape(-1)
+    return kd[0], kd[-1]
+
+
+def _bits_to_uniform(bits: Array) -> Array:
+    """Top 24 bits -> [0, 1) float32."""
+    return (bits >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+
+
 class LaneSampler:
     """Per-lane counter-based sampler: draw *i* for lane *l* is a pure
     function of ``(key, lane_id, i)``.
@@ -100,54 +146,47 @@ class LaneSampler:
 
     def __init__(self, key: Array, lane_ids: Array):
         self._cheap = _RNG_MODE == "cheap"
+        lane_u32 = lane_ids.astype(jnp.uint32)
         if self._cheap:
-            kd = jax.random.key_data(key) if jnp.issubdtype(
-                key.dtype, jax.dtypes.prng_key) else key.astype(jnp.uint32)
-            kd = kd.reshape(-1)
-            base = kd[0] ^ (kd[-1] * jnp.uint32(0x9E3779B9))
+            k0, k1 = _key_words(key)
+            base = k0 ^ (k1 * jnp.uint32(0x9E3779B9))
             self._lane_base = _lowbias32(
-                lane_ids.astype(jnp.uint32)
-                * jnp.uint32(0x85ebca6b) ^ base)
+                lane_u32 * jnp.uint32(0x85ebca6b) ^ base)
         else:
-            self._lane_keys = jax.vmap(jax.random.fold_in,
-                                       in_axes=(None, 0))(key, lane_ids)
-        self._n = 0
+            self._k0, self._k1 = _key_words(key)
+            self._lanes = lane_u32
+        self._n = 0  # column counter; draw i = f(key, lane, column)
 
-    # --- threefry path ---
-    def _next_keys(self) -> Array:
-        k = jax.vmap(jax.random.fold_in, in_axes=(0, None))(
-            self._lane_keys, self._n)
-        self._n += 1
-        return k
+    # --- threefry path: one 2x32 pass per two columns ---
+    def _tf_uniform(self, cols: int) -> Array:
+        n_pairs = (cols + 1) // 2
+        ctr = jnp.arange(n_pairs, dtype=jnp.uint32) + jnp.uint32(self._n)
+        self._n += n_pairs
+        b0, b1 = threefry2x32(self._k0, self._k1,
+                              self._lanes[:, None],
+                              jnp.broadcast_to(ctr, (1, n_pairs)))
+        u = _bits_to_uniform(jnp.stack([b0, b1], axis=-1)
+                             .reshape(self._lanes.shape[0], 2 * n_pairs))
+        return u[:, :cols]
 
     # --- cheap path ---
     def _cheap_uniform(self, cols: int) -> Array:
-        # unique stream id per (draw, column): 8 columns reserved per draw
-        ctr = jnp.uint32(self._n * 8)
-        self._n += 1
+        ctr = jnp.uint32(self._n)
+        self._n += cols
         c = jnp.arange(cols, dtype=jnp.uint32)
         bits = _lowbias32(self._lane_base[:, None]
                           ^ ((ctr + c) * jnp.uint32(0x9E3779B9)))
-        u = (bits >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
-        return u
+        return _bits_to_uniform(bits)
+
+    def _uniform(self, cols: int) -> Array:
+        return self._cheap_uniform(cols) if self._cheap \
+            else self._tf_uniform(cols)
 
     def next1(self) -> Array:
-        if self._cheap:
-            return self._cheap_uniform(1)[:, 0]
-        return jax.vmap(lambda k: jax.random.uniform(k, (),
-                                                     dtype=jnp.float32))(
-            self._next_keys())
+        return self._uniform(1)[:, 0]
 
     def next2(self) -> Array:
-        if self._cheap:
-            return self._cheap_uniform(2)
-        return jax.vmap(lambda k: jax.random.uniform(k, (2,),
-                                                     dtype=jnp.float32))(
-            self._next_keys())
+        return self._uniform(2)
 
     def next3(self) -> Array:
-        if self._cheap:
-            return self._cheap_uniform(3)
-        return jax.vmap(lambda k: jax.random.uniform(k, (3,),
-                                                     dtype=jnp.float32))(
-            self._next_keys())
+        return self._uniform(3)

@@ -31,10 +31,11 @@ def bsdf_at_hit(scene: Scene, hit: Hit, incoming_dir: Array,
     Returns (bsdf, is_emitter, emitter_radiance) where emitter_radiance is
     Lemit on front-face emitter hits else 0 (DiffuseEmitter.cu:40-52).
     """
-    mats = scene.materials
-    kind = mats.kind[hit.mat]
-    kd, ks, exponent, kr, kt, ior, kr_diel = \
-        mats.bsdf_coefficients(hit.mat)
+    # ONE fused row gather per bounce (kind/coeffs/emission/texture ids all
+    # come from the same [M,*] table — see core.gather for why this matters)
+    m = scene.materials.row(hit.mat)
+    kind = m.kind
+    kd, ks, exponent, kr, kt, ior, kr_diel = m.coefficients()
 
     # textured lanes: modulate kd by the diffuse map, perturb the shading
     # normal by the tangent-space normal map (material/Texture.cu)
@@ -42,12 +43,12 @@ def bsdf_at_hit(scene: Scene, hit: Hit, incoming_dir: Array,
     from ..scene.types import TEXTURED
     if scene.has_textures:
         from ..scene.texture import apply_normal_map, sample_bilinear
-        tex_id = mats.texture_id[hit.mat]
+        tex_id = m.texture_id
         textured = (kind == TEXTURED) & (tex_id >= 0)
         tex_rgb = sample_bilinear(scene.textures, tex_id, hit.uv)
         kd = jnp.where(textured[..., None], kd * tex_rgb, kd)
         if scene.normal_maps is not None and scene.normal_maps.shape[0] > 0:
-            nm_id = mats.normal_map_id[hit.mat]
+            nm_id = m.normal_map_id
             has_nm = textured & (nm_id >= 0)
             g = scene.geometry
             tri = jnp.clip(hit.prim, 0, g.n_triangles - 1)
@@ -67,7 +68,7 @@ def bsdf_at_hit(scene: Scene, hit: Hit, incoming_dir: Array,
                      ior_eff, kr_diel)
 
     is_emitter = kind == EMITTER
-    lemit = mats.emission[hit.mat]
+    lemit = m.emission
     front = dot(hit.ns, -incoming_dir) > 0.0
     emitter_radiance = jnp.where((is_emitter & front)[..., None], lemit, 0.0)
     return bsdf, is_emitter, emitter_radiance

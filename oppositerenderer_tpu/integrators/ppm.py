@@ -225,46 +225,42 @@ def emit_photons(scene: Scene, s: LaneSampler):
 
 def trace_photon_pass(scene: Scene, cfg: RenderConfig, key: Array, eps,
                       lane_ids: Array) -> tuple[PhotonBatch, dict]:
-    """``lane_ids`` are GLOBAL photon indices; the local buffer capacity is
-    len(lane_ids) * max_deposits (photons are sharded across devices)."""
+    """``lane_ids`` are GLOBAL photon indices (photons are sharded across
+    devices).
+
+    Deposits are emitted as per-bounce scan OUTPUTS (stacked [depth, n]
+    slabs, masked by a deposit bit) rather than scattered into a fixed
+    n*max_deposits buffer: the per-bounce scatters into multi-million-row
+    carried buffers cost ~1 s/iteration on v5e, the stacked-output form is
+    free. Capacity is n * max_photon_trace_depth rows; the per-path
+    MAX_PHOTONS_DEPOSITS_PER_EMITTED budget (config.h:23-27) is enforced by
+    the ``stored`` counter mask exactly as before.
+    """
     n = lane_ids.shape[0]
     max_dep = cfg.max_photon_deposits_per_emitted
-    cap = n * max_dep
     s = LaneSampler(key, lane_ids)
     o, d, power = emit_photons(scene, s)
 
-    ppos = jnp.zeros((cap + 1, 3))
-    ppow = jnp.zeros((cap + 1, 3))
-    pdir = jnp.zeros((cap + 1, 3))
-    pvalid = jnp.zeros((cap + 1,), jnp.bool_)
     stored = jnp.zeros((n,), jnp.int32)
     alive = jnp.ones((n,), jnp.bool_)
-    lane = jnp.arange(n, dtype=jnp.int32)
     path_len = jnp.zeros((n,), jnp.int32)
-
     vmax = cfg.media_max_deposits_per_photon
-    vcap = n * vmax
-    vol = dict(pos=jnp.zeros((vcap + 1, 3)), pow=jnp.zeros((vcap + 1, 3)),
-               dir=jnp.zeros((vcap + 1, 3)),
-               valid=jnp.zeros((vcap + 1,), jnp.bool_),
-               stored=jnp.zeros((n,), jnp.int32))
-
-    from ..scene.types import EMITTER
+    vol_stored = jnp.zeros((n,), jnp.int32)
+    has_medium = scene.medium is not None
 
     def photon_step(carry, depth):
-        (o, d, power, ppos, ppow, pdir, pvalid, stored, alive, path_len,
-         vol) = carry
+        o, d, power, stored, alive, path_len, vol_stored = carry
         skey = LaneSampler(jax.random.fold_in(key, 2000 + depth),
                            lane_ids)
         hit = intersect(scene, o, d, jnp.full((n,), 1.0) * eps,
                         jnp.full((n,), BIG))
-        kind = scene.materials.kind[hit.mat]
-        live = alive & hit.hit & (kind != EMITTER)  # emitters absorb
-        bsdf, _, _ = bsdf_at_hit(scene, hit, d)
+        bsdf, is_emitter, _ = bsdf_at_hit(scene, hit, d)
+        live = alive & hit.hit & ~is_emitter  # emitters absorb
         is_spec = bsdf.is_specular()
 
         scatter = jnp.zeros((n,), jnp.bool_)
-        if scene.medium is not None:
+        vol_y = None
+        if has_medium:
             # free-flight sampling: scatter inside the medium before the
             # surface (ParticipatingMedium.cu:110-201, analog random walk)
             from .media import sample_scatter_distance, segment_overlap
@@ -274,13 +270,9 @@ def trace_photon_pass(scene: Scene, cfg: RenderConfig, key: Array, eps,
             scatter = alive & (delta < overlap)
             sp = o + (t_enter + delta)[:, None] * d
             # deposit a volumetric photon (power before the albedo multiply)
-            vdep = scatter & (vol["stored"] < vmax)
-            vslot = jnp.where(vdep, lane * vmax + vol["stored"], vcap)
-            vol = dict(pos=vol["pos"].at[vslot].set(sp, mode="drop"),
-                       pow=vol["pow"].at[vslot].set(power, mode="drop"),
-                       dir=vol["dir"].at[vslot].set(d, mode="drop"),
-                       valid=vol["valid"].at[vslot].set(True, mode="drop"),
-                       stored=vol["stored"] + vdep.astype(jnp.int32))
+            vdep = scatter & (vol_stored < vmax)
+            vol_y = dict(pos=sp, pow=power, dir=d, valid=vdep)
+            vol_stored = vol_stored + vdep.astype(jnp.int32)
             albedo = scene.medium.sigma_s / jnp.maximum(
                 scene.medium.sigma_t, 1e-12)
             power = jnp.where(scatter[:, None], power * albedo, power)
@@ -289,11 +281,7 @@ def trace_photon_pass(scene: Scene, cfg: RenderConfig, key: Array, eps,
 
         # deposit at non-specular hits from depth>=1 (Diffuse.cu:98-103)
         deposit = live & ~is_spec & (depth >= 1) & (stored < max_dep)
-        slot = jnp.where(deposit, lane * max_dep + stored, cap)
-        ppos = ppos.at[slot].set(hit.position)
-        ppow = ppow.at[slot].set(power)
-        pdir = pdir.at[slot].set(d)
-        pvalid = pvalid.at[slot].set(True)
+        y = dict(pos=hit.position, pow=power, dir=d, valid=deposit)
         stored = stored + deposit.astype(jnp.int32)
 
         # full-capacity paths stop (Diffuse.cu:124-127)
@@ -317,31 +305,39 @@ def trace_photon_pass(scene: Scene, cfg: RenderConfig, key: Array, eps,
 
         o = jnp.where(live[:, None], hit.position, o)
         d = jnp.where(live[:, None], res.world_dir, d)
-        if scene.medium is not None:
+        if has_medium:
             o = jnp.where(scatter[:, None], sp, o)
             d = jnp.where(scatter[:, None], new_dir, d)
         alive = live | scatter
         path_len = path_len + alive.astype(jnp.int32)
-        return (o, d, power, ppos, ppow, pdir, pvalid, stored, alive,
-                path_len, vol), None
+        ys = (y, vol_y) if has_medium else (y,)
+        return (o, d, power, stored, alive, path_len, vol_stored), ys
 
-    carry = (o, d, power, ppos, ppow, pdir, pvalid, stored, alive, path_len,
-             vol)
-    carry, _ = jax.lax.scan(photon_step, carry,
-                            jnp.arange(cfg.max_photon_trace_depth))
-    (o, d, power, ppos, ppow, pdir, pvalid, stored, alive, path_len,
-     vol) = carry
+    carry = (o, d, power, stored, alive, path_len, vol_stored)
+    carry, ys = jax.lax.scan(photon_step, carry,
+                             jnp.arange(cfg.max_photon_trace_depth))
+    (o, d, power, stored, alive, path_len, vol_stored) = carry
 
-    photons = PhotonBatch(position=ppos[:cap], power=ppow[:cap],
-                          direction=pdir[:cap], valid=pvalid[:cap])
-    vol_photons = PhotonBatch(position=vol["pos"][:vcap],
-                              power=vol["pow"][:vcap],
-                              direction=vol["dir"][:vcap],
-                              valid=vol["valid"][:vcap])
+    y = ys[0]
+    photons = PhotonBatch(position=y["pos"].reshape(-1, 3),
+                          power=y["pow"].reshape(-1, 3),
+                          direction=y["dir"].reshape(-1, 3),
+                          valid=y["valid"].reshape(-1))
+    if has_medium:
+        vy = ys[1]
+        vol_photons = PhotonBatch(position=vy["pos"].reshape(-1, 3),
+                                  power=vy["pow"].reshape(-1, 3),
+                                  direction=vy["dir"].reshape(-1, 3),
+                                  valid=vy["valid"].reshape(-1))
+    else:
+        vol_photons = PhotonBatch(position=jnp.zeros((1, 3)),
+                                  power=jnp.zeros((1, 3)),
+                                  direction=jnp.zeros((1, 3)),
+                                  valid=jnp.zeros((1,), jnp.bool_))
     stats = dict(photons_stored=jnp.sum(stored),
                  avg_photon_path_length=jnp.mean(path_len.astype(jnp.float32)))
-    if scene.medium is not None:
-        stats["volumetric_photons_stored"] = jnp.sum(vol["stored"])
+    if has_medium:
+        stats["volumetric_photons_stored"] = jnp.sum(vol_stored)
     return photons, vol_photons, stats
 
 
@@ -375,10 +371,17 @@ def render_iteration(scene: Scene, camera: Camera, cfg: RenderConfig,
     # 4. indirect estimation at hitpoints
     if cfg.photon_map_structure == PhotonMapStructure.SORTED_UNIFORM_GRID:
         grid = build_photon_grid(photons, cfg.photon_grid_resolution)
+        s_gather = LaneSampler(jax.random.fold_in(est_key, 55), pixel_lanes)
         accum_power, gather_stats = gather_photons(
             grid, hp.position, hp.ns, radius,
             max_cells_per_axis=4,
-            budget_per_run=cfg.gather_max_photons_per_cell)
+            budget_total=cfg.gather_photon_budget,
+            u_stride=s_gather.next1())
+    elif cfg.photon_map_structure == PhotonMapStructure.KD_TREE_CPU:
+        from ..photon_map import build_photon_kdtree, gather_kdtree
+        tree = build_photon_kdtree(photons)
+        accum_power, gather_stats = gather_kdtree(tree, hp.position, hp.ns,
+                                                  radius)
     else:
         h = build_stochastic_hash(photons, radius,
                                   cfg.stochastic_hash_size_log2,
@@ -411,10 +414,12 @@ def render_iteration(scene: Scene, camera: Camera, cfg: RenderConfig,
         from .media import volumetric_radiance_estimate
         vol_radius = radius * 3.0   # volume density needs a larger support
         vgrid = build_photon_grid(vol_photons, cfg.photon_grid_resolution)
+        s_vg = LaneSampler(jax.random.fold_in(est_key, 56), pixel_lanes)
         vpow, _ = gather_photons(vgrid, hp.vol_point, hp.ns, vol_radius,
                                  max_cells_per_axis=4,
-                                 budget_per_run=cfg.gather_max_photons_per_cell,
-                                 check_normal=False)
+                                 budget_total=cfg.gather_photon_budget,
+                                 check_normal=False,
+                                 u_stride=s_vg.next1())
         volumetric = volumetric_radiance_estimate(
             scene.medium, vpow, vol_radius, hp.vol_len, hp.vol_t,
             cfg.photons_per_iteration)

@@ -49,8 +49,10 @@ class LightTable:
         return self.kind.shape[0]
 
     def row(self, idx: Array) -> "LightTable":
-        """Gather per-lane light rows."""
-        return jax.tree_util.tree_map(lambda a: a[idx], self)
+        """Gather per-lane light rows (one-hot matmul on TPU — see
+        core.gather)."""
+        from .core.gather import fused_rows
+        return fused_rows(self, idx)
 
 
 def make_area_light(power, anchor, v1, v2) -> dict:

@@ -1,9 +1,13 @@
 """Native (C++) components, loaded via ctypes with pure-numpy fallbacks.
 
-The reference's native runtime pieces (OptiX BVH build, thrust sort) map to:
-* bvh_builder.cpp — binned-SAH BVH build (host, once per scene)
-The shared library compiles on first use (g++ -O3); if no toolchain is
-available the numpy fallback in accel.bvh takes over.
+The reference's native runtime pieces map to:
+* bvh_builder.cpp — binned-SAH BVH build (host, once per scene; replaces
+  OptiX's Trbvh build, scene/Scene.cpp:353)
+* kdtree_builder.cpp — left-balanced photon kd-tree build (host, per
+  iteration when PhotonMapStructure.KD_TREE_CPU is selected; replaces
+  renderer/OptixRenderer_CPUKdTree.cpp)
+The shared libraries compile on first use (g++ -O3); if no toolchain is
+available the numpy fallbacks take over.
 """
 from __future__ import annotations
 
@@ -14,39 +18,46 @@ from pathlib import Path
 import numpy as np
 
 _HERE = Path(__file__).parent
-_LIB_PATH = _HERE / "libbvh_builder.so"
-_lib = None
-_build_failed = False
+_libs: dict[str, object] = {}
+_failed: set[str] = set()
 
 
-def _compile() -> bool:
-    src = _HERE / "bvh_builder.cpp"
+def _compile(stem: str) -> bool:
+    src = _HERE / f"{stem}.cpp"
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-             str(src), "-o", str(_LIB_PATH)],
+             str(src), "-o", str(_HERE / f"lib{stem}.so")],
             check=True, capture_output=True, timeout=120)
         return True
     except Exception:
         return False
 
 
-def get_lib():
-    """ctypes handle to the native builder, or None if unavailable."""
-    global _lib, _build_failed
-    if _lib is not None:
-        return _lib
-    if _build_failed:
+def _get(stem: str):
+    """ctypes handle to a native library by source stem, or None."""
+    if stem in _libs:
+        return _libs[stem]
+    if stem in _failed:
         return None
-    if not _LIB_PATH.exists():
-        if not _compile():
-            _build_failed = True
-            return None
+    lib_path = _HERE / f"lib{stem}.so"
+    if not lib_path.exists() and not _compile(stem):
+        _failed.add(stem)
+        return None
     try:
-        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib = ctypes.CDLL(str(lib_path))
     except OSError:
-        _build_failed = True
+        _failed.add(stem)
         return None
+    _libs[stem] = lib
+    return lib
+
+
+def get_lib():
+    """ctypes handle to the native BVH builder, or None if unavailable."""
+    lib = _get("bvh_builder")
+    if lib is None or hasattr(lib, "_sigs_set"):
+        return lib
     lib.build_bvh.restype = ctypes.c_int
     lib.build_bvh.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
@@ -55,8 +66,8 @@ def get_lib():
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_int), ctypes.c_int,
     ]
-    _lib = lib
-    return _lib
+    lib._sigs_set = True
+    return lib
 
 
 def build_bvh_native(prim_min: np.ndarray, prim_max: np.ndarray,
@@ -87,3 +98,89 @@ def build_bvh_native(prim_min: np.ndarray, prim_max: np.ndarray,
     if count <= 0:
         return None
     return (nmn[:count], nmx[:count], na[:count], nb[:count], order)
+
+
+# ---------------------------------------------------------------------------
+# photon kd-tree builder (kdtree_builder.cpp)
+# ---------------------------------------------------------------------------
+
+KD_LEAF, KD_NULL = 3, 4
+
+
+def _kdtree_lib():
+    lib = _get("kdtree_builder")
+    if lib is None or hasattr(lib, "_sigs_set"):
+        return lib
+    lib.build_photon_kdtree.restype = ctypes.c_int
+    lib.build_photon_kdtree.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int,
+    ]
+    lib._sigs_set = True
+    return lib
+
+
+def _left_subtree_size(n: int) -> int:
+    if n <= 1:
+        return 0
+    h = 0
+    while (1 << (h + 1)) - 1 < n:
+        h += 1
+    last = n - ((1 << h) - 1)
+    return ((1 << (h - 1)) - 1) + min(last, 1 << (h - 1))
+
+
+def _build_kdtree_numpy(pos: np.ndarray, perm: np.ndarray,
+                        axis: np.ndarray) -> None:
+    """Pure-numpy fallback mirroring kdtree_builder.cpp (np.argpartition
+    as the nth_element)."""
+    # iterative stack to avoid Python recursion limits
+    stack = [(np.arange(pos.shape[0], dtype=np.int64), 0)]
+    while stack:
+        idx, slot = stack.pop()
+        n = idx.shape[0]
+        if n == 0 or slot >= perm.shape[0]:
+            continue
+        if n == 1:
+            perm[slot] = idx[0]
+            axis[slot] = KD_LEAF
+            continue
+        p = pos[idx]
+        ax = int(np.argmax(p.max(axis=0) - p.min(axis=0)))
+        med = _left_subtree_size(n)
+        part = np.argpartition(p[:, ax], med)
+        perm[slot] = idx[part[med]]
+        axis[slot] = ax
+        stack.append((idx[part[:med]], 2 * slot + 1))
+        stack.append((idx[part[med + 1:]], 2 * slot + 2))
+
+
+def build_photon_kdtree_native(pos: np.ndarray) -> tuple[np.ndarray,
+                                                         np.ndarray]:
+    """Left-balanced kd-tree over photon positions [n,3].
+
+    Returns (perm [m], axis_flags [m]) with m the smallest complete-tree
+    capacity >= n (children of slot i at 2i+1/2i+2; flags 0/1/2 = split
+    axis, 3 = leaf, 4 = null). C++ when available, numpy otherwise.
+    """
+    n = int(pos.shape[0])
+    m = 1
+    while m < n:
+        m = 2 * m + 1
+    perm = np.full((m,), -1, np.int32)
+    axis = np.full((m,), KD_NULL, np.int32)
+    if n == 0:
+        return perm, axis
+    p = np.ascontiguousarray(pos, np.float32)
+    lib = _kdtree_lib()
+    if lib is not None:
+        fp = ctypes.POINTER(ctypes.c_float)
+        ip = ctypes.POINTER(ctypes.c_int)
+        count = lib.build_photon_kdtree(
+            p.ctypes.data_as(fp), n, perm.ctypes.data_as(ip),
+            axis.ctypes.data_as(ip), m)
+        if count == n:
+            return perm, axis
+    _build_kdtree_numpy(p, perm, axis)
+    return perm, axis

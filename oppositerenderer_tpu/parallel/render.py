@@ -106,9 +106,11 @@ def _ppm_shard(scene, camera, cfg, it, key, radius_sq, eps, px_s, py_s,
         lambda a: jax.lax.all_gather(a, TILE_AXIS, tiled=True),
         photons_local)
     grid = build_photon_grid(gathered, cfg.photon_grid_resolution)
+    from ..core.rng import LaneSampler as _LS
+    s_gather = _LS(jax.random.fold_in(est_key, 55), lanes_s)
     accum_power, gstats = gather_photons(
         grid, hp.position, hp.ns, radius, max_cells_per_axis=4,
-        budget_per_run=cfg.gather_max_photons_per_cell)
+        budget_total=cfg.gather_photon_budget, u_stride=s_gather.next1())
 
     indirect = (accum_power * (hp.kd / jnp.pi) * hp.attenuation
                 / (jnp.pi * radius_sq * cfg.photons_per_iteration))
@@ -134,10 +136,11 @@ def _ppm_shard(scene, camera, cfg, it, key, radius_sq, eps, px_s, py_s,
             vol_local)
         vol_radius = radius * 3.0
         vgrid = build_photon_grid(vol_all, cfg.photon_grid_resolution)
+        s_vg = _LS(jax.random.fold_in(est_key, 56), lanes_s)
         vpow, _ = gather_photons(
             vgrid, hp.vol_point, hp.ns, vol_radius, max_cells_per_axis=4,
-            budget_per_run=cfg.gather_max_photons_per_cell,
-            check_normal=False)
+            budget_total=cfg.gather_photon_budget,
+            check_normal=False, u_stride=s_vg.next1())
         volumetric = volumetric_radiance_estimate(
             scene.medium, vpow, vol_radius, hp.vol_len, hp.vol_t,
             cfg.photons_per_iteration)

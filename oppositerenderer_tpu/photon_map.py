@@ -89,13 +89,23 @@ def build_photon_grid(photons: PhotonBatch, resolution: int) -> PhotonGrid:
                           resolution)
     cells = jnp.where(v, cells, n_cells)  # invalid -> sentinel, sorts last
 
-    order = jnp.argsort(cells)
-    cells_sorted = cells[order]
+    # multi-operand sort co-moves all photon columns with the cell key —
+    # no post-sort reorder gathers (each [P] gather of millions of rows
+    # costs ~100 ms on v5e; the sort network moves the payload for free)
+    pw, dr = photons.power, photons.direction
+    out = jax.lax.sort(
+        (cells, p[:, 0], p[:, 1], p[:, 2], pw[:, 0], pw[:, 1], pw[:, 2],
+         dr[:, 0], dr[:, 1], dr[:, 2]), num_keys=1)
+    cells_sorted = out[0]
+    # method="sort": one extra vectorized sort instead of the default
+    # per-query binary-search while-loop (300 ms -> ~sort cost on v5e)
     offsets = jnp.searchsorted(cells_sorted,
-                               jnp.arange(n_cells + 1, dtype=cells.dtype))
+                               jnp.arange(n_cells + 1, dtype=cells.dtype),
+                               method="sort")
     return PhotonGrid(
-        position=p[order], power=photons.power[order],
-        direction=photons.direction[order],
+        position=jnp.stack(out[1:4], axis=-1),
+        power=jnp.stack(out[4:7], axis=-1),
+        direction=jnp.stack(out[7:10], axis=-1),
         offsets=offsets.astype(jnp.int32), origin=origin,
         cell_size=cell_size, resolution=resolution,
         n_valid=jnp.sum(v).astype(jnp.int32))
@@ -112,14 +122,28 @@ def gaussian_kernel_weight(distance2: Array, radius2: Array) -> Array:
 
 def gather_photons(grid: PhotonGrid, position: Array, normal: Array,
                    radius: Array, *, max_cells_per_axis: int = 4,
-                   budget_per_run: int = 64, check_normal: bool = True):
+                   budget_total: int = 256, check_normal: bool = True,
+                   u_stride: Array | None = None):
     """Accumulate kernel-weighted photon power within ``radius`` of each
     query point [N,3].
 
     Follows IndirectRadianceEstimation.cu:85-128: cells in the [p-r, p+r]
     box, each (y,z) row's x-range scanned as one contiguous photon interval.
-    Static shapes: up to ``max_cells_per_axis``^2 runs, each scanning up to
-    ``budget_per_run`` photons (overflow returned for stats).
+
+    TPU redesign (the reference walks a variable-length per-pixel loop):
+
+    1. the interval (start, length) list over the box's (y,z) rows is
+       built from offset-table reads only;
+    2. the intervals are FLATTENED into one [N, budget_total] gather per
+       photon array — the random row gathers are the dominant cost of a
+       PPM iteration on TPU (~6 ns/row regardless of width), so the row
+       count is what must shrink;
+    3. when a box holds more than ``budget_total`` photons, every s-th
+       photon (s = ceil(total/budget), random offset ``u_stride``) is
+       gathered and the contribution scaled by s — *systematic
+       subsampling with reweighting*, an unbiased estimator of the full
+       box sum, instead of truncation (which loses energy exactly where
+       the photon map is dense).
 
     Returns (power [N,3], stats dict).
     """
@@ -133,10 +157,8 @@ def gather_photons(grid: PhotonGrid, position: Array, normal: Array,
     hi = jnp.clip(jnp.floor((npos + r[..., None]) * inv_cs), 0,
                   res - 1).astype(jnp.int32)
 
-    accum = jnp.zeros(position.shape[:-1] + (3,), jnp.float32)
-    visited = jnp.zeros(position.shape[:-1], jnp.int32)
-    overflow = jnp.zeros(position.shape[:-1], jnp.int32)
-
+    # phase 1: per-lane (start, len) interval per (y,z) row of the box
+    starts, lens = [], []
     for dz in range(max_cells_per_axis):
         z = lo[..., 2] + dz
         z_ok = z <= hi[..., 2]
@@ -147,30 +169,54 @@ def gather_photons(grid: PhotonGrid, position: Array, normal: Array,
             cto = (hi[..., 0] + y * res + z * res * res)
             start = grid.offsets[jnp.where(ok, cfrom, 0)]
             end = grid.offsets[jnp.where(ok, cto, 0) + 1]
-            run = jnp.where(ok, end - start, 0)
-            visited = visited + jnp.minimum(run, budget_per_run)
-            overflow = overflow + jnp.maximum(run - budget_per_run, 0)
-            # vectorized interval scan: [N, B] gathered photon block
-            ks = jnp.arange(budget_per_run, dtype=jnp.int32)
-            idx = start[..., None] + ks
-            in_run = ok[..., None] & (ks < run[..., None])
-            safe = jnp.where(in_run, idx, 0)
-            ppos = grid.position[safe]        # [N,B,3]
-            ppow = grid.power[safe]
-            pdir = grid.direction[safe]
-            diff = position[..., None, :] - ppos
-            d2 = dot(diff, diff)
-            # validity: in radius + photon direction opposes the normal
-            # (IndirectRadianceEstimation.cu:55-58); volumetric gathers
-            # skip the normal test
-            ok_p = in_run & (d2 <= radius2[..., None])
-            if check_normal:
-                ok_p = ok_p & (dot(-pdir, normal[..., None, :]) >= 0.0)
-            w = gaussian_kernel_weight(d2, radius2[..., None])
-            accum = accum + jnp.sum(
-                jnp.where(ok_p[..., None], ppow * w[..., None], 0.0),
-                axis=-2)
-    stats = dict(photons_visited=visited, photon_overflow=overflow)
+            starts.append(jnp.where(ok, start, 0))
+            lens.append(jnp.where(ok, end - start, 0))
+    starts = jnp.stack(starts, axis=-1)           # [N, R]
+    lens = jnp.stack(lens, axis=-1)               # [N, R]
+    prefix = jnp.cumsum(lens, axis=-1) - lens     # exclusive [N, R]
+    total = prefix[..., -1] + lens[..., -1]       # photons in the box [N]
+
+    # phase 3 prep: stride subsampling of over-budget boxes
+    stride = jnp.maximum(1, -(-total // budget_total))          # ceil
+    if u_stride is None:
+        offset = jnp.zeros_like(stride)
+    else:
+        offset = jnp.minimum((u_stride * stride).astype(stride.dtype),
+                             stride - 1)
+
+    # phase 2: flatten (strided) intervals into one gather index block
+    ks = jnp.arange(budget_total, dtype=jnp.int32)
+    fk = offset[..., None] + ks * stride[..., None]             # [N, B]
+    shape_k = position.shape[:-1] + (budget_total,)
+    gidx = jnp.zeros(shape_k, jnp.int32)
+    gok = jnp.zeros(shape_k, jnp.bool_)
+    for rn in range(starts.shape[-1]):
+        off = fk - prefix[..., rn:rn + 1]
+        sel = (off >= 0) & (off < lens[..., rn:rn + 1])
+        gidx = jnp.where(sel, starts[..., rn:rn + 1] + off, gidx)
+        gok = gok | sel
+
+    # NOTE: keep these as three separate [N,B,3] gathers — fusing them
+    # into one [N,B,9] row gather measured 6x SLOWER on v5e (XLA fuses
+    # each narrow gather with its consumer; the wide one materializes)
+    ppos = grid.position[gidx]        # [N,B,3]
+    ppow = grid.power[gidx]
+    pdir = grid.direction[gidx]
+    diff = position[..., None, :] - ppos
+    d2 = dot(diff, diff)
+    # validity: in radius + photon direction opposes the normal
+    # (IndirectRadianceEstimation.cu:55-58); volumetric gathers skip the
+    # normal test
+    ok_p = gok & (d2 <= radius2[..., None])
+    if check_normal:
+        ok_p = ok_p & (dot(-pdir, normal[..., None, :]) >= 0.0)
+    w = gaussian_kernel_weight(d2, radius2[..., None])
+    accum = jnp.sum(jnp.where(ok_p[..., None], ppow * w[..., None], 0.0),
+                    axis=-2)
+    accum = accum * stride[..., None].astype(jnp.float32)  # reweight
+    visited = jnp.sum(gok, axis=-1).astype(jnp.int32)
+    stats = dict(photons_visited=visited,
+                 photon_subsampled=jnp.maximum(total - visited, 0))
     return accum, stats
 
 
@@ -252,3 +298,143 @@ def gather_stochastic_hash(h: StochasticHashMap, position: Array,
                 contrib = h.power[slot] * (w * h.count[slot])[..., None]
                 accum = accum + jnp.where(ok[..., None], contrib, 0.0)
     return accum, {}
+
+
+# ---------------------------------------------------------------------------
+# CPU kd-tree variant (reference OptixRenderer_CPUKdTree.cpp:27-129)
+# ---------------------------------------------------------------------------
+
+@struct.dataclass
+class PhotonKdTree:
+    """Left-balanced kd-tree photon map (children of slot i at 2i+1/2i+2).
+
+    The parity analog of the reference's ACCELERATION_STRUCTURE_KD_TREE_CPU
+    (config.h:18-21): the tree is median-built on the HOST (native C++
+    builder, native/kdtree_builder.cpp) exactly like the reference builds
+    on the CPU, then traversed on the TPU with a fixed stack. The sorted
+    uniform grid remains the production structure — host build + pointer
+    chasing is the slow path on both platforms.
+    """
+
+    position: Array   # [m,3] photon at tree slot (zeros on null slots)
+    power: Array      # [m,3]
+    direction: Array  # [m,3]
+    axis: Array       # [m] int32: 0/1/2 split axis, 3 leaf, 4 null
+    n_valid: Array    # [] int32
+
+
+def _kdtree_callback(pos: "np.ndarray", valid: "np.ndarray"):
+    import numpy as np
+    from .native import build_photon_kdtree_native
+    m = _kd_capacity(pos.shape[0])
+    sel = np.nonzero(valid)[0]
+    perm_c, axis = build_photon_kdtree_native(pos[sel])
+    # remap compacted indices back to original photon rows
+    perm = np.where(perm_c >= 0, sel[np.clip(perm_c, 0, None)], -1)
+    out_p = np.full((m,), -1, np.int32)
+    out_a = np.full((m,), 4, np.int32)
+    out_p[:perm.shape[0]] = perm.astype(np.int32)
+    out_a[:axis.shape[0]] = axis
+    return out_p, out_a
+
+
+def _kd_capacity(n_rows: int) -> int:
+    m = 1
+    while m < n_rows:
+        m = 2 * m + 1
+    return m
+
+
+def build_photon_kdtree(photons: PhotonBatch) -> PhotonKdTree:
+    """Host-built kd-tree (createPhotonKdTreeOnCPU,
+    OptixRenderer_CPUKdTree.cpp:89-129) wrapped as a jit-safe callback."""
+    import numpy as np  # noqa: F401 (doc: host side)
+    p = photons.position
+    m = _kd_capacity(p.shape[0])
+    perm, axis = jax.pure_callback(
+        _kdtree_callback,
+        (jax.ShapeDtypeStruct((m,), jnp.int32),
+         jax.ShapeDtypeStruct((m,), jnp.int32)),
+        p, photons.valid, vmap_method="sequential")
+    safe = jnp.clip(perm, 0, p.shape[0] - 1)
+    null = perm < 0
+    return PhotonKdTree(
+        position=jnp.where(null[:, None], 0.0, photons.position[safe]),
+        power=jnp.where(null[:, None], 0.0, photons.power[safe]),
+        direction=jnp.where(null[:, None], 0.0, photons.direction[safe]),
+        axis=jnp.where(null, 4, axis).astype(jnp.int32),
+        n_valid=jnp.sum(photons.valid).astype(jnp.int32))
+
+
+def gather_kdtree(tree: PhotonKdTree, position: Array, normal: Array,
+                  radius: Array, *, max_visits: int = 512,
+                  check_normal: bool = True):
+    """Range query over the kd-tree (IndirectRadianceEstimation.cu:168-210's
+    stack traversal, vectorized over query lanes with a fixed [N,S] stack).
+
+    Bounded at ``max_visits`` node pops per lane (the reference's traversal
+    is unbounded; overruns are reported in the stats dict).
+    """
+    m = tree.axis.shape[0]
+    depth = max(1, m.bit_length())
+    stack_size = depth + 2
+    n = position.shape[0]
+    radius2 = jnp.broadcast_to(radius * radius, (n,))
+
+    stack = jnp.zeros((n, stack_size), jnp.int32)   # root=0 pre-pushed
+    sp = jnp.ones((n,), jnp.int32)
+    accum = jnp.zeros((n, 3), jnp.float32)
+    visited = jnp.zeros((n,), jnp.int32)
+
+    def cond(state):
+        step, sp, *_ = state
+        return (step < max_visits) & jnp.any(sp > 0)
+
+    def body(state):
+        step, sp, stack, accum, visited = state
+        active = sp > 0
+        top = jnp.maximum(sp - 1, 0)
+        slot = stack[jnp.arange(n), top]
+        sp = jnp.where(active, sp - 1, sp)
+
+        ax = tree.axis[slot]
+        ppos = tree.position[slot]
+        is_null = ax == 4
+        ok = active & ~is_null
+
+        diff = position - ppos
+        d2 = dot(diff, diff)
+        in_r = ok & (d2 <= radius2)
+        if check_normal:
+            in_r = in_r & (dot(-tree.direction[slot], normal) >= 0.0)
+        w = gaussian_kernel_weight(d2, radius2)
+        accum = accum + jnp.where(in_r[:, None],
+                                  tree.power[slot] * w[:, None], 0.0)
+        visited = visited + ok.astype(jnp.int32)
+
+        # internal: descend near child, push far child if the splitting
+        # plane is within the radius
+        is_internal = ok & (ax < 3)
+        axc = jnp.clip(ax, 0, 2)
+        delta = (position[jnp.arange(n), axc]
+                 - ppos[jnp.arange(n), axc])
+        near = jnp.where(delta < 0.0, 2 * slot + 1, 2 * slot + 2)
+        far = jnp.where(delta < 0.0, 2 * slot + 2, 2 * slot + 1)
+        push_far = is_internal & (delta * delta <= radius2) & (far < m)
+        idx = jnp.arange(n)
+        stack = stack.at[idx, jnp.minimum(sp, stack_size - 1)].set(
+            jnp.where(push_far, far, stack[idx, jnp.minimum(
+                sp, stack_size - 1)]))
+        sp = sp + push_far.astype(jnp.int32)
+        push_near = is_internal & (near < m)
+        stack = stack.at[idx, jnp.minimum(sp, stack_size - 1)].set(
+            jnp.where(push_near, near, stack[idx, jnp.minimum(
+                sp, stack_size - 1)]))
+        sp = sp + push_near.astype(jnp.int32)
+        return step + 1, sp, stack, accum, visited
+
+    state = (jnp.int32(0), sp, stack, accum, visited)
+    step, sp, stack, accum, visited = jax.lax.while_loop(cond, body, state)
+    stats = dict(photons_visited=visited,
+                 kd_overrun=jnp.sum((sp > 0).astype(jnp.int32)))
+    return accum, stats

@@ -40,7 +40,8 @@ class MaterialTable:
     normal_map_id: Array  # [M] int32, -1 = none
 
     def row(self, idx: Array) -> "MaterialTable":
-        return jax.tree_util.tree_map(lambda a: a[idx], self)
+        from ..core.gather import fused_rows
+        return fused_rows(self, idx)
 
     def bsdf_coefficients(self, idx: Array):
         """Per-lane BSDF component coefficients for material ids ``idx`` —
@@ -50,7 +51,13 @@ class MaterialTable:
 
         Returns ``(kd, ks, exponent, kr, kt, ior, kr_is_dielectric)``.
         """
-        m = self.row(idx)
+        return self.row(idx).coefficients()
+
+    def coefficients(self):
+        """BSDF coefficients from already-gathered per-lane rows (call
+        ``row(idx)`` ONCE per bounce and reuse — every extra gather costs
+        real time on TPU, see core.gather)."""
+        m = self
         is_glass = m.kind == GLASS
         ones3 = jnp.ones(m.kd.shape[:-1] + (3,), m.kd.dtype)
         kd = jnp.where((m.kind == DIFFUSE)[..., None]

@@ -62,8 +62,8 @@ def test_gather_matches_bruteforce(radius):
     normal = jnp.tile(jnp.asarray([[0.0, 1.0, 0.0]]), (64, 1))
     # cell size = 2/16 = 0.125; radius 0.25 needs 2r/cs + 1 = 5 cells
     got, stats = pm.gather_photons(grid, q, normal, jnp.float32(radius),
-                                   max_cells_per_axis=6, budget_per_run=256)
-    assert int(stats["photon_overflow"].sum()) == 0
+                                   max_cells_per_axis=6, budget_total=1024)
+    assert int(stats["photon_subsampled"].sum()) == 0
     want = brute_force_gather(photons, q, np.asarray([0.0, 1.0, 0.0]), radius)
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
 
@@ -75,19 +75,19 @@ def test_gather_normal_rejection():
     # normal pointing down -> all (downward) photons rejected
     got, _ = pm.gather_photons(grid, q, jnp.asarray([[0.0, -1.0, 0.0]]),
                                jnp.float32(0.3), max_cells_per_axis=6,
-                               budget_per_run=256)
+                               budget_total=1024)
     np.testing.assert_allclose(np.asarray(got), 0.0, atol=1e-7)
 
 
-def test_gather_budget_overflow_reported():
+def test_gather_budget_subsample_reported():
     photons = make_photons(n=2000, frac_valid=1.0)
     # cram all photons into a tiny region -> guaranteed overflow
     photons = photons.replace(position=photons.position * 0.01 + 1.0)
     grid = pm.build_photon_grid(photons, resolution=4)
     q = jnp.asarray([[1.01, 1.01, 1.01]])
     _, stats = pm.gather_photons(grid, q, jnp.asarray([[0.0, 1.0, 0.0]]),
-                                 jnp.float32(0.05), budget_per_run=16)
-    assert int(stats["photon_overflow"].sum()) > 0
+                                 jnp.float32(0.05), budget_total=16)
+    assert int(stats["photon_subsampled"].sum()) > 0
 
 
 def test_kernel_weight_bounds():
@@ -112,10 +112,83 @@ def test_stochastic_hash_gather_approximates():
     normal = jnp.tile(jnp.asarray([[0.0, 1.0, 0.0]]), (256, 1))
     radius = jnp.float32(0.12)  # ~cell size
     exact, _ = pm.gather_photons(grid, q, normal, radius,
-                                 max_cells_per_axis=6, budget_per_run=256)
+                                 max_cells_per_axis=6, budget_total=1024)
     approx, _ = pm.gather_stochastic_hash(h, q, normal, radius)
     # stochastic estimate is unbiased-ish: totals should be within ~30%
     se = float(exact.sum())
     sa = float(approx.sum())
     assert se > 0
     assert abs(sa - se) / se < 0.35
+
+
+def test_gather_stride_subsampling_unbiased():
+    """Strided subsampling with reweighting approximates the full gather
+    (unbiased estimator of the box sum; photon_map.gather_photons phase 3)."""
+    photons = make_photons(n=4000, frac_valid=1.0)
+    grid = pm.build_photon_grid(photons, resolution=8)
+    k = jax.random.PRNGKey(3)
+    q = jax.random.uniform(k, (128, 3), minval=0.4, maxval=1.6)
+    normal = jnp.tile(jnp.asarray([[0.0, 1.0, 0.0]]), (128, 1))
+    radius = jnp.float32(0.4)
+    full, _ = pm.gather_photons(grid, q, normal, radius,
+                                max_cells_per_axis=6, budget_total=4096)
+    # average several jittered subsampled estimates
+    est = 0.0
+    n_rep = 8
+    for i in range(n_rep):
+        u = jax.random.uniform(jax.random.PRNGKey(100 + i), (128,))
+        sub, stats = pm.gather_photons(grid, q, normal, radius,
+                                       max_cells_per_axis=6,
+                                       budget_total=64, u_stride=u)
+        est = est + sub / n_rep
+    assert int(stats["photon_subsampled"].sum()) > 0
+    tot_full = float(full.sum())
+    tot_est = float(jnp.asarray(est).sum())
+    assert abs(tot_est - tot_full) / tot_full < 0.15
+
+
+def test_kdtree_gather_matches_bruteforce():
+    """KD_TREE_CPU variant (OptixRenderer_CPUKdTree.cpp analog): host-built
+    tree + fixed-stack device traversal equals the brute-force gather."""
+    photons = make_photons(n=600, frac_valid=0.8)
+    tree = pm.build_photon_kdtree(photons)
+    k = jax.random.PRNGKey(21)
+    q = jax.random.uniform(k, (64, 3), minval=0.2, maxval=1.8)
+    normal = jnp.tile(jnp.asarray([[0.0, 1.0, 0.0]]), (64, 1))
+    radius = 0.25
+    got, stats = pm.gather_kdtree(tree, q, normal, jnp.float32(radius),
+                                  max_visits=4096)
+    assert int(stats["kd_overrun"]) == 0
+    want = brute_force_gather(photons, q, np.asarray([0.0, 1.0, 0.0]),
+                              radius)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_kdtree_in_ppm_iteration():
+    """Full PPM iteration with the kd-tree structure stays finite and
+    close to the grid-structure result."""
+    from oppositerenderer_tpu.config import (PhotonMapStructure,
+                                             RenderConfig, RenderMethod)
+    from oppositerenderer_tpu.core.rng import make_root_key
+    from oppositerenderer_tpu.integrators import ppm as ppm_mod
+    from oppositerenderer_tpu.scene import make_cornell_small
+    scene, camera = make_cornell_small()
+    base = RenderConfig(width=24, height=24,
+                        render_method=RenderMethod.PROGRESSIVE_PHOTON_MAPPING,
+                        photons_per_iteration=2048,
+                        max_photon_trace_depth=4,
+                        photon_grid_resolution=16)
+    key = make_root_key(0)
+    r2 = jnp.float32(0.01)
+    rad_grid, _ = ppm_mod.render_iteration(
+        scene, camera, base, jnp.int32(0), key, r2)
+    cfg_kd = base.replace(
+        photon_map_structure=PhotonMapStructure.KD_TREE_CPU)
+    rad_kd, _ = ppm_mod.render_iteration(
+        scene, camera, cfg_kd, jnp.int32(0), key, r2)
+    assert bool(jnp.isfinite(rad_kd).all())
+    # same photons, same estimator -> images match closely (the grid's
+    # budget subsampling is the only source of difference)
+    diff = float(jnp.abs(rad_kd - rad_grid).mean())
+    scale = float(jnp.abs(rad_grid).mean()) + 1e-6
+    assert diff / scale < 0.05
