@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--method", default="pt", choices=["pt", "ppm", "vcm"])
+    ap.add_argument("--scene", default="CornellSmall",
+                    help="built-in scene name (e.g. Atrium = Sponza-class "
+                         "260k-tri stress scene) or .dae/.obj path")
     ap.add_argument("--pallas", action=argparse.BooleanOptionalAction,
                     default=None,
                     help="Pallas TPU intersection kernels (default: auto)")
@@ -40,7 +43,7 @@ def main():
     from oppositerenderer_tpu.config import RenderConfig, RenderMethod
     from oppositerenderer_tpu.core.rng import make_root_key
     from oppositerenderer_tpu.integrators import ppm, pt, vcm
-    from oppositerenderer_tpu.scene import make_cornell_small
+    from oppositerenderer_tpu.scene import get_scene_by_name
 
     size = 128 if args.quick else args.size
     iters = 4 if args.quick else args.iters
@@ -58,7 +61,7 @@ def main():
         from oppositerenderer_tpu.core.rng import set_rng_mode
         set_rng_mode("cheap")
 
-    scene, camera = make_cornell_small()
+    scene, camera = get_scene_by_name(args.scene)
     cfg = RenderConfig(width=size, height=size, render_method=method,
                        photons_per_iteration=1 << (16 if args.quick else 20))
     key = make_root_key(0)

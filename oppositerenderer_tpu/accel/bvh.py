@@ -28,10 +28,30 @@ BIG = 1e30
 
 @struct.dataclass
 class Bvh:
+    """Flattened BVH.
+
+    Two representations coexist:
+    * the plain node arrays (nodes_min/max/a/b) from the builder — kept for
+      inspection/tests;
+    * the PACKED traversal layout (node_rows/leaf_rows), built by
+      ``build_scene_bvh``: every per-step random-row gather on TPU costs
+      ~6 ns/row regardless of width, so traversal state is packed to ONE
+      row gather per node pop (both children's AABBs + child codes live in
+      the parent row) and ONE row gather per visited leaf (its <=L
+      triangles, occluder flags, and first-prim id inline).
+
+    Child codes: inner child = node index (>=0); leaf child =
+    ``-(leaf_row * 32 + count) - 1`` (count <= 31).
+    """
+
     nodes_min: Array  # [n,3]
     nodes_max: Array  # [n,3]
     nodes_a: Array    # [n] inner: left child; leaf: ~first_prim
     nodes_b: Array    # [n] inner: right child; leaf: prim count
+    # packed traversal layout (None until build_scene_bvh packs it)
+    node_rows: Array = None   # [n,16] f32: lmin,lmax,rmin,rmax,a_code,b_code
+    leaf_rows: Array = None   # [m,W] f32: L*9 tri | L occluder flags | first
+    root_code: int = struct.field(pytree_node=False, default=0)
     leaf_size: int = struct.field(pytree_node=False, default=16)
     max_stack: int = struct.field(pytree_node=False, default=48)
 
@@ -100,10 +120,58 @@ def build_bvh_arrays(prim_min, prim_max, leaf_size: int = 16,
     return bvh, np.asarray(order)
 
 
-def build_scene_bvh(scene, leaf_size: int = 16):
+def _bitcast_i2f(x: np.ndarray) -> np.ndarray:
+    return x.astype(np.int32).view(np.float32)
+
+
+def _pack_bvh(nmn, nmx, na, nb, tri9_perm, occluder, leaf_size):
+    """Build the packed traversal layout (see Bvh docstring). Host numpy."""
+    assert leaf_size <= 31, "leaf count must fit 5 bits of the code"
+    n_nodes = na.shape[0]
+    is_leaf = na < 0
+    leaf_row_of = np.cumsum(is_leaf) - 1          # node -> leaf row
+
+    codes = np.where(is_leaf,
+                     -(leaf_row_of * 32 + nb) - 1,
+                     np.arange(n_nodes)).astype(np.int32)
+
+    node_rows = np.zeros((n_nodes, 16), np.float32)
+    inner = np.where(~is_leaf)[0]
+    a = na[inner]
+    b = nb[inner]
+    node_rows[inner, 0:3] = nmn[a]
+    node_rows[inner, 3:6] = nmx[a]
+    node_rows[inner, 6:9] = nmn[b]
+    node_rows[inner, 9:12] = nmx[b]
+    node_rows[inner, 12] = _bitcast_i2f(codes[a])
+    node_rows[inner, 13] = _bitcast_i2f(codes[b])
+
+    # leaf rows: L triangles inline + occluder flags + first prim id
+    L = leaf_size
+    width = 9 * L + L + 1
+    width = -(-width // 8) * 8
+    leaf_nodes = np.where(is_leaf)[0]
+    m = leaf_nodes.shape[0]
+    leaf_rows = np.zeros((m, width), np.float32)
+    first = (~na[leaf_nodes]).astype(np.int64)
+    count = nb[leaf_nodes].astype(np.int64)
+    n_tris = tri9_perm.shape[0]
+    assert n_tris < (1 << 24), "first-prim id must be exact in f32"
+    k = np.arange(L)
+    idx = np.minimum(first[:, None] + k, n_tris - 1)      # [m, L]
+    valid = k[None, :] < count[:, None]
+    tri = np.where(valid[..., None], tri9_perm[idx], 0.0)  # [m, L, 9]
+    leaf_rows[:, :9 * L] = tri.reshape(m, 9 * L)
+    leaf_rows[:, 9 * L:9 * L + L] = np.where(valid, occluder[idx], 0.0)
+    leaf_rows[:, 9 * L + L] = first.astype(np.float32)
+    return node_rows, leaf_rows, int(codes[0])
+
+
+def build_scene_bvh(scene, leaf_size: int = 4):
     """Returns (scene-with-permuted-triangles, Bvh). Spheres stay dense
-    (their count is tiny in every reference scene)."""
-    import jax.tree_util as jtu
+    (their count is tiny in every reference scene). Default leaf_size 4:
+    small inline leaves measured fastest on TPU (leaf cost is one wide row
+    gather, so fewer triangles per visited leaf wins)."""
     g = scene.geometry
     v0 = np.asarray(g.tri_v0)
     v1 = v0 + np.asarray(g.tri_e1)
@@ -112,13 +180,27 @@ def build_scene_bvh(scene, leaf_size: int = 16):
     pmax = np.maximum(np.maximum(v0, v1), v2)
     bvh, order = build_bvh_arrays(pmin, pmax, leaf_size)
     perm = jnp.asarray(order)
-    geom = jtu.tree_map(lambda a: a, g)
     geom = g.replace(
         tri_v0=g.tri_v0[perm], tri_e1=g.tri_e1[perm], tri_e2=g.tri_e2[perm],
         tri_n0=g.tri_n0[perm], tri_n1=g.tri_n1[perm], tri_n2=g.tri_n2[perm],
         tri_uv0=g.tri_uv0[perm], tri_uv1=g.tri_uv1[perm],
         tri_uv2=g.tri_uv2[perm], tri_tangent=g.tri_tangent[perm],
         tri_bitangent=g.tri_bitangent[perm], tri_mat=g.tri_mat[perm])
+
+    # pack traversal layout from the PERMUTED triangles; occluder flags are
+    # baked (emitter surfaces never occlude — DiffuseEmitter.cu:63-68)
+    from ..scene.types import EMITTER
+    tri9 = np.concatenate([np.asarray(geom.tri_v0), np.asarray(geom.tri_e1),
+                           np.asarray(geom.tri_e2)], axis=1)  # [T,9]
+    is_em = (np.asarray(scene.materials.kind)[np.asarray(geom.tri_mat)]
+             == EMITTER)
+    node_rows, leaf_rows, root_code = _pack_bvh(
+        np.asarray(bvh.nodes_min), np.asarray(bvh.nodes_max),
+        np.asarray(bvh.nodes_a), np.asarray(bvh.nodes_b),
+        tri9, (~is_em).astype(np.float32), leaf_size)
+    bvh = bvh.replace(node_rows=jnp.asarray(node_rows),
+                      leaf_rows=jnp.asarray(leaf_rows),
+                      root_code=root_code)
     return scene.replace(geometry=geom), bvh
 
 
@@ -126,112 +208,204 @@ def build_scene_bvh(scene, leaf_size: int = 16):
 # device traversal
 # ---------------------------------------------------------------------------
 
-def _leaf_test(geom, first, count, leaf_size, o, d, tmin, t_best):
-    """Dense MT over one leaf's contiguous prims per lane: [N, L]."""
-    ks = jnp.arange(leaf_size, dtype=jnp.int32)
-    idx = first[:, None] + ks                       # [N,L]
-    in_leaf = ks[None, :] < count[:, None]
-    safe = jnp.clip(idx, 0, geom.n_triangles - 1)
-    v0 = geom.tri_v0[safe]
-    e1 = geom.tri_e1[safe]
-    e2 = geom.tri_e2[safe]
-    pvec = jnp.cross(d[:, None, :], e2)
-    det = jnp.sum(e1 * pvec, axis=-1)
-    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-    tvec = o[:, None, :] - v0
-    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
-    qvec = jnp.cross(tvec, e1)
-    v = jnp.sum(d[:, None, :] * qvec, axis=-1) * inv_det
-    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
-    ok = (in_leaf & (jnp.abs(det) > 1e-12) & (u >= 0) & (v >= 0)
-          & (u + v <= 1.0) & (t > tmin[:, None]) & (t < t_best[:, None]))
-    t = jnp.where(ok, t, BIG)
-    col = jnp.argmin(t, axis=1)
-    ar = jnp.arange(o.shape[0])
-    return t[ar, col], idx[ar, col], u[ar, col], v[ar, col]
+# node pops between dense leaf rounds, and deferred-leaf capacity per round
+INNER_STEPS = 8
+PEND = 8
+# below this lane count the compaction ladder stops (compaction overhead
+# beats the lockstep saving only for large waves)
+LADDER_MIN = 16384
+
+
+def _init_state(bvh: Bvh, o, d, tmin, tmax):
+    n = o.shape[0]
+    stack = jnp.zeros((n, bvh.max_stack), jnp.int32)
+    stack = stack.at[:, 0].set(bvh.root_code)
+    return dict(
+        o=o, d=d, tmin=tmin,
+        stack=stack, sp=jnp.ones((n,), jnp.int32),
+        t_best=jnp.minimum(tmax, BIG),
+        i_best=jnp.full((n,), -1, jnp.int32),
+        u_best=jnp.zeros((n,)), v_best=jnp.zeros((n,)),
+        found=jnp.zeros((n,), jnp.bool_),
+        pend=jnp.zeros((n, PEND), jnp.int32),
+        pend_n=jnp.zeros((n,), jnp.int32))
+
+
+def _runnable(st, any_hit):
+    run = (st["sp"] > 0) | (st["pend_n"] > 0)
+    if any_hit:
+        run = run & ~st["found"]
+    return run
 
 
 def _traverse_impl(bvh: Bvh, geom, o, d, tmin, tmax, any_hit: bool):
-    n = o.shape[0]
+    """Two-phase wavefront traversal with a compaction ladder.
+
+    Inner phase: INNER_STEPS masked stack pops per lane; leaf children are
+    DEFERRED into a small pending list (1 packed-row gather per pop — the
+    only random access). Leaf phase: all pending leaves of all lanes are
+    tested in one dense [N, PEND, L] Moller-Trumbore block fed by a single
+    leaf-row gather; t_best updates then prune the next inner phase.
+    This replaces a per-step leaf test that gathered [N, leaf_size] rows
+    of 3 arrays EVERY pop (~6 ns/row made that ~100x slower on v5e).
+
+    The while-loop is LOCKSTEP: every round pays full-wave gather rows
+    until the single slowest lane finishes (measured p50=99 / p95=327
+    node pops per ray on the Atrium), so once the unfinished count drops
+    below a quarter of the wave the live lanes are compacted into a 4x
+    smaller array and the loop continues there (recursively, down to
+    LADDER_MIN lanes).
+    """
+    st = _init_state(bvh, o, d, tmin, tmax)
+    st = _solve(bvh, st, any_hit)
+    return (st["t_best"], st["i_best"], st["u_best"], st["v_best"],
+            st["found"])
+
+
+def _solve(bvh: Bvh, st, any_hit: bool):
+    n = st["o"].shape[0]
+    if n <= LADDER_MIN:
+        return _run_until(bvh, st, any_hit, cap=0)
+    n_next = n // 4
+    st = _run_until(bvh, st, any_hit, cap=n_next)
+    run = _runnable(st, any_hit)
+    sel = jnp.argsort(jnp.where(run, 0, 1))[:n_next]
+    sub = jax.tree_util.tree_map(lambda a: a[sel], st)
+    sub = _solve(bvh, sub, any_hit)
+    return jax.tree_util.tree_map(
+        lambda full, s: full.at[sel].set(s), st, sub)
+
+
+def _run_until(bvh: Bvh, st, any_hit: bool, cap: int):
+    """Run traversal rounds until <= ``cap`` lanes remain unfinished."""
+    n = st["o"].shape[0]
     S = bvh.max_stack
-    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
+    L = bvh.leaf_size
+    n_leaves = bvh.leaf_rows.shape[0]
+    ar = jnp.arange(n)
 
-    stack = jnp.zeros((n, S), jnp.int32)   # node 0 = root pre-pushed
-    sp = jnp.ones((n,), jnp.int32)
-    t_best = jnp.minimum(tmax, BIG)
-    i_best = jnp.full((n,), -1, jnp.int32)
-    u_best = jnp.zeros((n,))
-    v_best = jnp.zeros((n,))
-    found = jnp.zeros((n,), jnp.bool_)
+    def outer_cond(st):
+        return jnp.sum(_runnable(st, any_hit)) > cap
 
-    def aabb_t(node, t_cap):
-        bmin = bvh.nodes_min[node]
-        bmax = bvh.nodes_max[node]
-        t0 = (bmin - o) * inv_d
-        t1 = (bmax - o) * inv_d
-        tn = jnp.maximum(jnp.max(jnp.minimum(t0, t1), axis=-1), tmin)
-        tf = jnp.minimum(jnp.min(jnp.maximum(t0, t1), axis=-1), t_cap)
-        return tn, tn <= tf
+    def outer(st):
+        o, d, tmin = st["o"], st["d"], st["tmin"]
+        inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
+        (stack, sp, t_best, i_best, u_best, v_best, found, pend,
+         pend_n) = (st["stack"], st["sp"], st["t_best"], st["i_best"],
+                    st["u_best"], st["v_best"], st["found"], st["pend"],
+                    st["pend_n"])
 
-    def cond(state):
-        sp = state[1]
-        found = state[6]
-        runnable = (sp > 0) & ~found if any_hit else sp > 0
-        return jnp.any(runnable)
+        # ---- inner phase: masked pops, defer leaves -------------------
+        def inner(_, st2):
+            stack, sp, pend, pend_n = st2
+            active = (sp > 0) & (pend_n < PEND)
+            if any_hit:
+                active = active & ~found
+            top = jnp.maximum(sp - 1, 0)
+            code = stack[ar, top]
+            sp = jnp.where(active, top, sp)
+            is_leaf_c = code < 0
 
-    def body(state):
-        stack, sp, t_best, i_best, u_best, v_best, found = state
-        active = sp > 0
+            put = active & is_leaf_c
+            pend = pend.at[ar, jnp.where(put, pend_n, PEND)].set(
+                code, mode="drop")
+            pend_n = pend_n + put.astype(jnp.int32)
+
+            nid = jnp.where(active & ~is_leaf_c, code, 0)
+            row = bvh.node_rows[nid]                       # [N,16]
+            t_cap = t_best
+
+            def slab(bmin, bmax):
+                t0 = (bmin - o) * inv_d
+                t1 = (bmax - o) * inv_d
+                tn = jnp.maximum(jnp.max(jnp.minimum(t0, t1), -1), tmin)
+                tf = jnp.minimum(jnp.min(jnp.maximum(t0, t1), -1), t_cap)
+                return tn, tn <= tf
+
+            tn_l, hit_l = slab(row[:, 0:3], row[:, 3:6])
+            tn_r, hit_r = slab(row[:, 6:9], row[:, 9:12])
+            a_code = jax.lax.bitcast_convert_type(row[:, 12], jnp.int32)
+            b_code = jax.lax.bitcast_convert_type(row[:, 13], jnp.int32)
+            is_inner = active & ~is_leaf_c
+            hit_l = hit_l & is_inner
+            hit_r = hit_r & is_inner
+
+            near_is_left = tn_l <= tn_r
+            c1 = jnp.where(near_is_left, b_code, a_code)  # far first
+            ok1 = jnp.where(near_is_left, hit_r, hit_l)
+            c2 = jnp.where(near_is_left, a_code, b_code)  # near last
+            ok2 = jnp.where(near_is_left, hit_l, hit_r)
+
+            push1 = ok1 & (sp < S)
+            stack = stack.at[ar, jnp.where(push1, sp, S)].set(
+                c1, mode="drop")
+            sp = sp + push1.astype(jnp.int32)
+            push2 = ok2 & (sp < S)
+            stack = stack.at[ar, jnp.where(push2, sp, S)].set(
+                c2, mode="drop")
+            sp = sp + push2.astype(jnp.int32)
+            return stack, sp, pend, pend_n
+
+        stack, sp, pend, pend_n = jax.lax.fori_loop(
+            0, INNER_STEPS, inner, (stack, sp, pend, pend_n))
+
+        # ---- leaf phase: one dense block over all pending leaves ------
+        slot_live = (jnp.arange(PEND)[None, :] < pend_n[:, None])
+        dec = -pend - 1
+        rows = jnp.where(slot_live, dec >> 5, 0)
+        counts = jnp.where(slot_live, dec & 31, 0)
+        block = bvh.leaf_rows[jnp.clip(rows, 0, n_leaves - 1)]  # [N,P,W]
+        tri = block[:, :, :9 * L].reshape(n, PEND, L, 9)
+        occ_f = block[:, :, 9 * L:9 * L + L]                    # [N,P,L]
+        firsts = block[:, :, 9 * L + L].astype(jnp.int32)       # [N,P]
+
+        ks = jnp.arange(L)
+        cand_ok = slot_live[..., None] & (ks[None, None, :]
+                                          < counts[..., None])
         if any_hit:
-            active = active & ~found
-        spm1 = jnp.maximum(sp - 1, 0)
-        node = stack[jnp.arange(n), spm1]
-        sp = jnp.where(active, spm1, sp)
+            cand_ok = cand_ok & (occ_f > 0.5)
 
-        a = bvh.nodes_a[node]
-        b = bvh.nodes_b[node]
-        is_leaf = a < 0
+        ob = o[:, None, None, :]
+        db = d[:, None, None, :]
+        v0 = tri[..., 0:3]
+        e1 = tri[..., 3:6]
+        e2 = tri[..., 6:9]
+        pvec = jnp.cross(db, e2)
+        det = jnp.sum(e1 * pvec, axis=-1)
+        inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+        tvec = ob - v0
+        u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+        qvec = jnp.cross(tvec, e1)
+        v = jnp.sum(db * qvec, axis=-1) * inv_det
+        t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+        ok = (cand_ok & (jnp.abs(det) > 1e-12) & (u >= 0) & (v >= 0)
+              & (u + v <= 1.0) & (t > tmin[:, None, None])
+              & (t < t_best[:, None, None]))
+        t = jnp.where(ok, t, BIG).reshape(n, PEND * L)
 
-        # --- leaf: dense prim block -----------------------------------
-        first = jnp.where(is_leaf, ~a, 0)
-        count = jnp.where(active & is_leaf, b, 0)
-        lt, li, lu, lv = _leaf_test(geom, first, count, bvh.leaf_size,
-                                    o, d, tmin, t_best)
-        better = active & is_leaf & (lt < t_best)
-        t_best = jnp.where(better, lt, t_best)
-        i_best = jnp.where(better, li, i_best)
-        u_best = jnp.where(better, lu, u_best)
-        v_best = jnp.where(better, lv, v_best)
-        found = found | better
+        if any_hit:
+            found = found | jnp.any(t < BIG, axis=1)
+        else:
+            prim = (firsts[..., None] + ks[None, None, :]).reshape(
+                n, PEND * L)
+            j = jnp.argmin(t, axis=1)
+            tj = t[ar, j]
+            better = tj < t_best
+            t_best = jnp.where(better, tj, t_best)
+            i_best = jnp.where(better, prim[ar, j], i_best)
+            uf = u.reshape(n, PEND * L)
+            vf = v.reshape(n, PEND * L)
+            u_best = jnp.where(better, uf[ar, j], u_best)
+            v_best = jnp.where(better, vf[ar, j], v_best)
+            found = found | better
 
-        # --- inner: test children, push near last (popped first) ------
-        inner = active & ~is_leaf
-        tn_l, hit_l = aabb_t(a, t_best)
-        tn_r, hit_r = aabb_t(b, t_best)
-        hit_l = hit_l & inner
-        hit_r = hit_r & inner
-        near_is_left = tn_l <= tn_r
-        first_child = jnp.where(near_is_left, b, a)   # far pushed first
-        first_ok = jnp.where(near_is_left, hit_r, hit_l)
-        second_child = jnp.where(near_is_left, a, b)  # near pushed last
-        second_ok = jnp.where(near_is_left, hit_l, hit_r)
+        pend = jnp.zeros_like(pend)
+        pend_n = jnp.zeros_like(pend_n)
+        return dict(o=o, d=d, tmin=tmin, stack=stack, sp=sp, t_best=t_best,
+                    i_best=i_best, u_best=u_best, v_best=v_best,
+                    found=found, pend=pend, pend_n=pend_n)
 
-        ar = jnp.arange(n)
-        push1 = first_ok & (sp < S)
-        stack = stack.at[ar, jnp.where(push1, sp, S)].set(
-            first_child, mode="drop")   # OOB slot S drops the write
-        sp = sp + push1.astype(jnp.int32)
-        push2 = second_ok & (sp < S)
-        stack = stack.at[ar, jnp.where(push2, sp, S)].set(
-            second_child, mode="drop")
-        sp = sp + push2.astype(jnp.int32)
-
-        return stack, sp, t_best, i_best, u_best, v_best, found
-
-    state = (stack, sp, t_best, i_best, u_best, v_best, found)
-    state = jax.lax.while_loop(cond, body, state)
-    _, _, t_best, i_best, u_best, v_best, found = state
-    return t_best, i_best, u_best, v_best, found
+    return jax.lax.while_loop(outer_cond, outer, st)
 
 
 @jax.custom_vjp
@@ -258,19 +432,14 @@ traverse.defvjp(_traverse_fwd, _traverse_bwd)
 
 @jax.custom_vjp
 def traverse_any(bvh: Bvh, geom, occluder_mask, o, d, tmin, tmax):
-    """Any-hit (occlusion) with per-triangle occluder mask; early-outs once
-    a lane is blocked. Returns [N] bool."""
-    t, idx, _, _, found = _traverse_impl(
-        bvh, _masked_geom(geom, occluder_mask), o, d, tmin, tmax,
-        any_hit=True)
+    """Any-hit (occlusion); early-outs once a lane is blocked. Returns [N]
+    bool. The occluder mask (emitters never occlude) is BAKED into the
+    packed leaf rows at build time — the ``occluder_mask`` argument is kept
+    for API stability and ignored."""
+    del occluder_mask
+    _, _, _, _, found = _traverse_impl(bvh, geom, o, d, tmin, tmax,
+                                       any_hit=True)
     return found
-
-
-def _masked_geom(geom, occluder_mask):
-    """Degenerate the non-occluder triangles (emitters) so they never hit."""
-    z = jnp.where(occluder_mask[:, None], geom.tri_e1, 0.0)
-    z2 = jnp.where(occluder_mask[:, None], geom.tri_e2, 0.0)
-    return geom.replace(tri_e1=z, tri_e2=z2)
 
 
 def _any_fwd(bvh, geom, occluder_mask, o, d, tmin, tmax):

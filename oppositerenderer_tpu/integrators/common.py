@@ -108,8 +108,10 @@ def nee_direct(scene: Scene, bsdf: BSDF, position: Array, active: Array,
             / jnp.maximum(dist, 1e-20)[:, None]
         f, _, _, _ = bsdf.f(dir_l)
         worth = nee_ok & (max3(contrib) > 0.0) & (max3(f) > 0.0)
+        # not-worth lanes trace an empty interval (instant BVH root miss)
         occ = occluded(scene, position, dir_l, jnp.full((n,), 1.0) * eps,
-                       jnp.maximum(dist - 2 * eps, eps))
+                       jnp.where(worth,
+                                 jnp.maximum(dist - 2 * eps, eps), 0.0))
         vis = worth & ~occ
         direct = direct + jnp.where(vis[:, None], f * contrib * n_lights,
                                     0.0)

@@ -108,7 +108,7 @@ def trace_eye_pass(scene: Scene, camera: Camera, cfg: RenderConfig,
         skey = LaneSampler(jax.random.fold_in(key, 1000 + depth),
                            lane_ids)
         hit = intersect(scene, o, d, jnp.full((n,), 1.0) * eps,
-                        jnp.full((n,), BIG))
+                        jnp.where(walking, BIG, 0.0))  # dead: empty ray
         live = walking & hit.hit
         bsdf, is_emitter, emitter_rad = bsdf_at_hit(scene, hit, d)
         is_spec = bsdf.is_specular() & ~is_emitter
@@ -253,7 +253,7 @@ def trace_photon_pass(scene: Scene, cfg: RenderConfig, key: Array, eps,
         skey = LaneSampler(jax.random.fold_in(key, 2000 + depth),
                            lane_ids)
         hit = intersect(scene, o, d, jnp.full((n,), 1.0) * eps,
-                        jnp.full((n,), BIG))
+                        jnp.where(alive, BIG, 0.0))    # dead: empty ray
         bsdf, is_emitter, _ = bsdf_at_hit(scene, hit, d)
         live = alive & hit.hit & ~is_emitter  # emitters absorb
         is_spec = bsdf.is_specular()

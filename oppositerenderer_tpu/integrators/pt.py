@@ -56,8 +56,11 @@ def render_lanes(scene: Scene, camera: Camera, cfg: RenderConfig,
 
     def bounce(state, depth):
         skey = LaneSampler(jax.random.fold_in(key, depth + 1), lane_ids)
+        # dead lanes trace an EMPTY interval: the BVH root test fails
+        # immediately instead of a full (lockstep-priced) traversal
         hit = intersect(scene, state["o"], state["d"],
-                        jnp.full((n,), 1.0) * eps, jnp.full((n,), BIG))
+                        jnp.full((n,), 1.0) * eps,
+                        jnp.where(state["active"], BIG, 0.0))
         active = state["active"] & hit.hit
         radiance = state["radiance"]
 

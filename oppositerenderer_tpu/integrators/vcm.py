@@ -153,12 +153,11 @@ def trace_light_pass(scene: Scene, camera: Camera, cfg: RenderConfig,
         skey = LaneSampler(jax.random.fold_in(key, 3000 + depth1),
                            lane_ids)
         hit = intersect(scene, o, d, jnp.full((n_paths,), 1.0) * eps,
-                        jnp.full((n_paths,), BIG))
-        kind = scene.materials.kind[hit.mat]
-        live = alive & hit.hit & (kind != EMITTER)  # emitter absorbs
+                        jnp.where(alive, BIG, 0.0))    # dead: empty ray
+        bsdf, is_emitter, _ = bsdf_at_hit(scene, hit, d)
+        live = alive & hit.hit & ~is_emitter  # emitter absorbs
         # (DiffuseEmitter.cu:76-79: light path terminates on emitters)
 
-        bsdf, _, _ = bsdf_at_hit(scene, hit, d)
         n_eff = bsdf.frame.n  # possibly flipped for glass
         cos_in = dot(n_eff, -d)
         live = live & (cos_in >= EPS_COSINE)  # vcm.h:245-250
@@ -344,7 +343,7 @@ def trace_camera_pass(scene: Scene, camera: Camera, cfg: RenderConfig,
         skey = LaneSampler(jax.random.fold_in(key, 4000 + depth1),
                            lane_ids)
         hit = intersect(scene, o, d, jnp.full((n,), 1.0) * eps,
-                        jnp.full((n,), BIG))
+                        jnp.where(alive, BIG, 0.0))    # dead: empty ray
         live = alive & hit.hit
 
         bsdf, is_emitter, _ = bsdf_at_hit(scene, hit, d)

@@ -19,6 +19,7 @@ class SceneBuilder:
         self.name = name
         self._materials: list[dict] = []
         self._tris: list[tuple] = []     # (v0,v1,v2,n0,n1,n2,uv0,uv1,uv2,mat)
+        self._bulk: list[dict] = []      # vectorized mesh blocks (add_mesh)
         self._spheres: list[tuple] = []  # (center, radius, mat)
         self._lights: list[dict] = []
         self._textures: list = []      # np images for the diffuse atlas
@@ -118,18 +119,37 @@ class SceneBuilder:
 
     def add_mesh(self, vertices, faces, material: int, normals=None,
                  uvs=None):
-        """Indexed triangle mesh (Scene.cpp:361-430 analog)."""
+        """Indexed triangle mesh (Scene.cpp:361-430 analog). Vectorized —
+        suitable for Sponza-class meshes (hundreds of thousands of faces)."""
         vertices = np.asarray(vertices, np.float32)
         faces = np.asarray(faces, np.int64)
-        for f in faces:
-            kw = {}
-            if normals is not None:
-                kw = dict(n0=normals[f[0]], n1=normals[f[1]],
-                          n2=normals[f[2]])
-            if uvs is not None:
-                kw.update(uv0=uvs[f[0]], uv1=uvs[f[1]], uv2=uvs[f[2]])
-            self.add_triangle(vertices[f[0]], vertices[f[1]], vertices[f[2]],
-                              material, **kw)
+        if faces.size == 0:
+            return
+        v0 = vertices[faces[:, 0]]
+        v1 = vertices[faces[:, 1]]
+        v2 = vertices[faces[:, 2]]
+        if normals is not None:
+            normals = np.asarray(normals, np.float32)
+            n0, n1, n2 = (normals[faces[:, i]] for i in range(3))
+        else:
+            ng = np.cross(v1 - v0, v2 - v0)
+            ng = ng / np.maximum(np.linalg.norm(ng, axis=1, keepdims=True),
+                                 1e-20)
+            n0 = n1 = n2 = ng
+        if uvs is not None:
+            uvs = np.asarray(uvs, np.float32)
+            uv0, uv1, uv2 = (uvs[faces[:, i]] for i in range(3))
+        else:
+            uv0 = uv1 = uv2 = np.zeros((faces.shape[0], 2), np.float32)
+        mat = np.full((faces.shape[0],), material, np.int32)
+        self._bulk.append(dict(v0=v0, v1=v1, v2=v2, n0=n0, n1=n1, n2=n2,
+                               uv0=uv0, uv1=uv1, uv2=uv2, mat=mat))
+        self._grow_aabb(vertices[np.unique(faces)])
+
+    @property
+    def n_triangles(self) -> int:
+        return (len(self._tris)
+                + sum(b["mat"].shape[0] for b in self._bulk))
 
     def set_medium(self, sigma_s: float, sigma_a: float, aabb_min=None,
                    aabb_max=None):
@@ -144,29 +164,40 @@ class SceneBuilder:
 
     # ---------------------------------------------------------------- build
     def build(self, aabb_padding: float = 0.0) -> Scene:
-        if not self._tris and not self._spheres:
+        if not self._tris and not self._bulk and not self._spheres:
             raise ValueError("empty scene")
         if not self._lights:
             raise ValueError("scene has no lights")
 
-        def stack(idx):
-            return jnp.asarray(np.stack([t[idx] for t in self._tris]))
+        def col(idx, width):
+            if self._tris:
+                return np.stack([t[idx] for t in self._tris])
+            return np.zeros((0, width), np.float32)
 
-        v0, v1, v2 = (np.stack([t[i] for t in self._tris]) for i in range(3))
+        names = ("v0", "v1", "v2", "n0", "n1", "n2", "uv0", "uv1", "uv2")
+        cols = {}
+        for i, nm in enumerate(names):
+            parts = [col(i, 2 if nm.startswith("uv") else 3)]
+            parts += [b[nm] for b in self._bulk]
+            cols[nm] = np.concatenate(parts, axis=0)
+        mats = np.concatenate(
+            [np.asarray([t[9] for t in self._tris], np.int32).reshape(-1)]
+            + [b["mat"] for b in self._bulk])
+        v0, v1, v2 = cols["v0"], cols["v1"], cols["v2"]
         from .texture import build_atlas, compute_triangle_tangents
-        uv0 = np.stack([t[6] for t in self._tris])
-        uv1 = np.stack([t[7] for t in self._tris])
-        uv2 = np.stack([t[8] for t in self._tris])
+        uv0, uv1, uv2 = cols["uv0"], cols["uv1"], cols["uv2"]
         tangent, bitangent = compute_triangle_tangents(v0, v1, v2,
                                                        uv0, uv1, uv2)
         geom = Geometry(
             tri_v0=jnp.asarray(v0), tri_e1=jnp.asarray(v1 - v0),
             tri_e2=jnp.asarray(v2 - v0),
-            tri_n0=stack(3), tri_n1=stack(4), tri_n2=stack(5),
-            tri_uv0=stack(6), tri_uv1=stack(7), tri_uv2=stack(8),
+            tri_n0=jnp.asarray(cols["n0"]), tri_n1=jnp.asarray(cols["n1"]),
+            tri_n2=jnp.asarray(cols["n2"]),
+            tri_uv0=jnp.asarray(uv0), tri_uv1=jnp.asarray(uv1),
+            tri_uv2=jnp.asarray(uv2),
             tri_tangent=jnp.asarray(tangent),
             tri_bitangent=jnp.asarray(bitangent),
-            tri_mat=jnp.asarray([t[9] for t in self._tris], jnp.int32),
+            tri_mat=jnp.asarray(mats, jnp.int32),
             sph_center=(jnp.asarray(np.stack([s[0] for s in self._spheres]))
                         if self._spheres else jnp.zeros((0, 3), jnp.float32)),
             sph_radius=jnp.asarray([s[1] for s in self._spheres],

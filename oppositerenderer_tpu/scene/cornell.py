@@ -174,6 +174,14 @@ def get_scene_by_name(name: str) -> tuple[Scene, Camera]:
             C.SMALLVCM_COLORS | C.BACKWALL_BLUE | C.SMALL_GLASS_SPHERE
             | C.FLOOR_GLOSSY | C.LIGHT_POINT_STRONG),
     }
+    # Sponza-class built-in stress scene (procedural; the reference's
+    # Sponza/Conference are external Collada downloads)
+    if name == "Atrium":
+        from .atrium import make_atrium
+        return make_atrium()
+    if name.startswith("Atrium:"):  # e.g. "Atrium:0.5" for lower detail
+        from .atrium import make_atrium
+        return make_atrium(detail=float(name.split(":", 1)[1]))
     if name in table:
         return table[name]()
     from .collada import load_scene_file
