@@ -54,6 +54,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pallas", action="store_true",
                    help="use Pallas TPU intersection kernels")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    # device pick (the reference's console device prompt,
+    # Standalone/standalone.cpp + ComputeDeviceRepository)
+    p.add_argument("--list-devices", action="store_true",
+                   help="print the compute-device table and exit")
+    p.add_argument("--device", type=int, default=None,
+                   help="render on this device ordinal (default: first)")
+    p.add_argument("--profile", default=None, metavar="LOGDIR",
+                   help="capture a jax.profiler trace of the render loop "
+                        "into LOGDIR (view with TensorBoard/Perfetto)")
     # camera overrides (Mouse.cpp interaction analogs)
     p.add_argument("--eye", type=float, nargs=3, default=None)
     p.add_argument("--lookat", type=float, nargs=3, default=None)
@@ -73,6 +82,18 @@ def main(argv=None) -> int:
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
+
+    if args.list_devices:
+        from .devices import ComputeDeviceRepository
+        print(ComputeDeviceRepository.enumerate().table())
+        return 0
+    if args.device is not None:
+        import jax
+        from .devices import ComputeDeviceRepository
+        desc, dev = ComputeDeviceRepository.enumerate().pick(args.device)
+        if not args.quiet:
+            print(f"rendering on {desc.summary()}")
+        jax.config.update("jax_default_device", dev)
 
     from .camera import Camera
     from .config import RenderConfig, RenderMethod
@@ -122,17 +143,19 @@ def main(argv=None) -> int:
 
     save = save_tga if args.output.endswith(".tga") else save_png
     target = r.iteration + args.iterations
-    while r.iteration < target:
-        m = r.render_next_iteration()
-        if not args.quiet:
-            extra = "".join(
-                f" {k}={v:.3g}" for k, v in m.items()
-                if k in ("photons_stored", "light_vertices_stored",
-                         "ppm_radius"))
-            print(f"iter {m['iteration']:4d}  "
-                  f"{m['iteration_seconds'] * 1e3:7.1f} ms{extra}")
-        if args.preview_every and r.iteration % args.preview_every == 0:
-            save(r.film, args.output, gamma=args.gamma)
+    from .core.profiling import trace
+    with trace(args.profile):
+        while r.iteration < target:
+            m = r.render_next_iteration()
+            if not args.quiet:
+                extra = "".join(
+                    f" {k}={v:.3g}" for k, v in m.items()
+                    if k in ("photons_stored", "light_vertices_stored",
+                             "ppm_radius"))
+                print(f"iter {m['iteration']:4d}  "
+                      f"{m['iteration_seconds'] * 1e3:7.1f} ms{extra}")
+            if args.preview_every and r.iteration % args.preview_every == 0:
+                save(r.film, args.output, gamma=args.gamma)
 
     save(r.film, args.output, gamma=args.gamma)
     if args.checkpoint:

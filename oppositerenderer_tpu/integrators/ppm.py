@@ -39,6 +39,7 @@ from ..accel.intersect import intersect
 from ..camera import Camera
 from ..config import PhotonMapStructure, RenderConfig
 from ..core.math import Array, dot, max3
+from ..core.profiling import pass_scope
 from ..core.rng import LaneSampler, iteration_key
 from ..core.sampling import (sample_cone, sample_disc, sample_unit_sphere,
                              sample_unit_hemisphere_cos)
@@ -360,23 +361,27 @@ def render_iteration(scene: Scene, camera: Camera, cfg: RenderConfig,
     # 1. eye pass
     px, py = pixel_coords(W, H)
     pixel_lanes = jnp.arange(n, dtype=jnp.int32)
-    hp = trace_eye_pass(scene, camera, cfg, eye_key, eps, px, py,
-                        pixel_lanes)
+    with pass_scope("ppm_eye_pass"):
+        hp = trace_eye_pass(scene, camera, cfg, eye_key, eps, px, py,
+                            pixel_lanes)
 
     # 2-3. photon pass + map build
     photon_lanes = jnp.arange(cfg.photons_per_iteration, dtype=jnp.int32)
-    photons, vol_photons, photon_stats = trace_photon_pass(
-        scene, cfg, photon_key, eps, photon_lanes)
+    with pass_scope("ppm_photon_pass"):
+        photons, vol_photons, photon_stats = trace_photon_pass(
+            scene, cfg, photon_key, eps, photon_lanes)
 
     # 4. indirect estimation at hitpoints
     if cfg.photon_map_structure == PhotonMapStructure.SORTED_UNIFORM_GRID:
-        grid = build_photon_grid(photons, cfg.photon_grid_resolution)
+        with pass_scope("ppm_grid_build"):
+            grid = build_photon_grid(photons, cfg.photon_grid_resolution)
         s_gather = LaneSampler(jax.random.fold_in(est_key, 55), pixel_lanes)
-        accum_power, gather_stats = gather_photons(
-            grid, hp.position, hp.ns, radius,
-            max_cells_per_axis=4,
-            budget_total=cfg.gather_photon_budget,
-            u_stride=s_gather.next1())
+        with pass_scope("ppm_indirect_gather"):
+            accum_power, gather_stats = gather_photons(
+                grid, hp.position, hp.ns, radius,
+                max_cells_per_axis=4,
+                budget_total=cfg.gather_photon_budget,
+                u_stride=s_gather.next1())
     elif cfg.photon_map_structure == PhotonMapStructure.KD_TREE_CPU:
         from ..photon_map import build_photon_kdtree, gather_kdtree
         tree = build_photon_kdtree(photons)
@@ -401,8 +406,9 @@ def render_iteration(scene: Scene, camera: Camera, cfg: RenderConfig,
     hp_bsdf = BSDF.make(hp.ns, hp.ng, hp.wo, hp.kd, ks_l, exp_l, kr_l,
                         kt_l, ior_l, diel_l)
     s_est = LaneSampler(est_key, pixel_lanes)
-    direct = nee_direct(scene, hp_bsdf, hp.position, hp.found, s_est,
-                        cfg.ppm_direct_shadow_samples, eps)
+    with pass_scope("ppm_direct_estimation"):
+        direct = nee_direct(scene, hp_bsdf, hp.position, hp.found, s_est,
+                            cfg.ppm_direct_shadow_samples, eps)
     direct = jnp.where(hp.found[:, None], hp.attenuation * direct, 0.0)
     # emitter/specular/miss pixels pass stored radiance through (no clamp)
     passthrough = hp.radiance

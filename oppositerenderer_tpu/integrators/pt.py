@@ -24,6 +24,7 @@ from ..accel.intersect import intersect
 from ..camera import Camera
 from ..config import RenderConfig
 from ..core.math import Array, max3
+from ..core.profiling import pass_scope
 from ..core.rng import LaneSampler, iteration_key
 from ..scene.types import Scene
 from .common import bsdf_at_hit, nee_direct, pixel_coords, scene_epsilon
@@ -112,6 +113,7 @@ def render_iteration(scene: Scene, camera: Camera, cfg: RenderConfig,
     W, H = cfg.width, cfg.height
     px, py = pixel_coords(W, H)
     lane_ids = jnp.arange(W * H, dtype=jnp.int32)
-    radiance = render_lanes(scene, camera, cfg, iteration, base_key, px, py,
-                            lane_ids)
+    with pass_scope("pt_raytrace_pass"):
+        radiance = render_lanes(scene, camera, cfg, iteration, base_key,
+                                px, py, lane_ids)
     return radiance.reshape(H, W, 3)

@@ -42,6 +42,7 @@ from ..bsdf import BSDF
 from ..camera import Camera
 from ..config import RenderConfig
 from ..core.math import Array, dot, max3
+from ..core.profiling import pass_scope
 from ..core.rng import LaneSampler, iteration_key
 from ..core.sampling import pdf_w_to_a
 from ..lights import light_emit, light_illuminate
@@ -507,13 +508,15 @@ def render_iteration(scene: Scene, camera: Camera, cfg: RenderConfig,
 
     n = cfg.width * cfg.height
     path_lanes = jnp.arange(n_light_paths, dtype=jnp.int32)
-    store, splat, lstats = trace_light_pass(
-        scene, camera, cfg, lkey, eps, mis_vc_w, mis_vm_w, path_lanes,
-        n_light_paths)
+    with pass_scope("vcm_light_pass"):
+        store, splat, lstats = trace_light_pass(
+            scene, camera, cfg, lkey, eps, mis_vc_w, mis_vm_w, path_lanes,
+            n_light_paths)
     px, py = pixel_coords(cfg.width, cfg.height)
     pixel_lanes = jnp.arange(n, dtype=jnp.int32)
     pair = pixel_lanes % n_light_paths
-    color = trace_camera_pass(
-        scene, camera, cfg, ckey, eps, mis_vc_w, mis_vm_w, store,
-        n_light_paths, px, py, pixel_lanes, pair)
+    with pass_scope("vcm_camera_pass"):
+        color = trace_camera_pass(
+            scene, camera, cfg, ckey, eps, mis_vc_w, mis_vm_w, store,
+            n_light_paths, px, py, pixel_lanes, pair)
     return color.reshape(cfg.height, cfg.width, 3) + splat, lstats
