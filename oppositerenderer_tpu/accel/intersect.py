@@ -23,14 +23,17 @@ from ..scene.types import EMITTER, Scene
 
 BIG = 1e30
 
-# intersection backend: "jnp" (pure XLA), "pallas" (TPU kernels),
-# "pallas_interpret" (kernels in interpreter mode, for CPU tests)
+# Process-default intersection backend: "jnp" (pure XLA), "pallas" (TPU
+# kernels), "pallas_interpret" (kernels in interpreter mode, for CPU tests).
+# Per-scene override: Scene.backend (set by Renderer from
+# RenderConfig.use_pallas) takes precedence, so two renderers with different
+# backends coexist in one process; set_backend only changes the fallback
+# used for scenes with backend=None.
 _BACKEND = "jnp"
 
 
 def set_backend(name: str) -> None:
-    """Select the intersection backend at trace time (Renderer sets this
-    from RenderConfig.use_pallas before compiling)."""
+    """Set the process-default backend (scenes with ``backend=None``)."""
     global _BACKEND
     assert name in ("jnp", "pallas", "pallas_interpret"), name
     _BACKEND = name
@@ -38,6 +41,11 @@ def set_backend(name: str) -> None:
 
 def get_backend() -> str:
     return _BACKEND
+
+
+def _resolve_backend(scene: Scene) -> str:
+    b = getattr(scene, "backend", None)
+    return b if b is not None else _BACKEND
 
 
 @struct.dataclass
@@ -305,11 +313,12 @@ def intersect(scene: Scene, o: Array, d: Array, tmin: Array, tmax: Array,
               chunk_size: int | None = None) -> Hit:
     """Closest hit for rays [N,3] against the whole scene. Uses the scene's
     BVH when present (big scenes), else dense brute force."""
+    backend = _resolve_backend(scene)
     if scene.bvh is not None:
         return _closest_hit_bvh(scene, o, d, tmin, tmax)
-    if _BACKEND.startswith("pallas"):
+    if backend.startswith("pallas"):
         return _closest_hit_pallas(scene, o, d, tmin, tmax,
-                                   interpret=_BACKEND.endswith("interpret"))
+                                   interpret=backend.endswith("interpret"))
     if chunk_size is None:
         chunk_size = _auto_chunk(o.shape[0], scene.geometry.n_triangles)
     return _chunked(partial(_closest_hit_chunk, scene), chunk_size)(
@@ -319,11 +328,12 @@ def intersect(scene: Scene, o: Array, d: Array, tmin: Array, tmax: Array,
 def occluded(scene: Scene, o: Array, d: Array, tmin: Array, tmax: Array,
              chunk_size: int | None = None) -> Array:
     """Shadow-ray test [N] -> bool. Emitter surfaces never occlude."""
+    backend = _resolve_backend(scene)
     if scene.bvh is not None:
         return _occluded_bvh(scene, o, d, tmin, tmax)
-    if _BACKEND.startswith("pallas"):
+    if backend.startswith("pallas"):
         return _occluded_pallas(scene, o, d, tmin, tmax,
-                                interpret=_BACKEND.endswith("interpret"))
+                                interpret=backend.endswith("interpret"))
     if chunk_size is None:
         chunk_size = _auto_chunk(o.shape[0], scene.geometry.n_triangles)
     return _chunked(partial(_occluded_chunk, scene), chunk_size)(

@@ -29,6 +29,17 @@ class PhotonMapStructure(enum.IntEnum):
                              # (host C++ build + device stack traversal)
 
 
+class PhotonExchange(enum.IntEnum):
+    """Multi-chip photon-map exchange strategy (sharded PPM).
+
+    The reference's single full map per GPU (OptixRenderer_SpatialHash.cu)
+    has no analog of this axis; see parallel/exchange.py.
+    """
+
+    ALL_TO_ALL = 0   # cell-owner partition; O(P/D) traffic+memory per chip
+    ALL_GATHER = 1   # replicate photons; identical full grid on every chip
+
+
 class Intersector(enum.IntEnum):
     """Ray-scene intersection backend."""
 
@@ -72,6 +83,10 @@ class RenderConfig:
     # 128 measured 2x faster than 256 at 512^2/1M photons with radiance
     # agreeing to 0.01%.
     gather_photon_budget: int = 128
+    # sharded PPM only: how photons reach their grid-cell owners
+    photon_exchange: PhotonExchange = PhotonExchange.ALL_TO_ALL
+    # per-destination slab capacity = local_photons/D x this factor
+    photon_exchange_capacity_factor: float = 2.0
 
     # --- VCM (reference OptixRenderer.cpp:53, vcm/*) ---
     vcm_max_path_length: int = 10                 # VCM_MAX_PATH_LENGTH
@@ -85,6 +100,16 @@ class RenderConfig:
     # debugging/testing knob: pin the RR continuation probability (e.g. 1.0
     # disables RR, making finite-difference gradient checks well-conditioned)
     vcm_force_continuation_prob: float | None = None
+    # VCM_UNIFORM_VERTEX_SAMPLING (vcm/config_vcm.h; OptixRenderer.cpp:308,
+    # 679-773): connect each camera vertex to vcm_uniform_connections
+    # vertices picked uniformly from the GLOBAL light-vertex store instead
+    # of pairing 1:1 with one light path. The reference derives the
+    # connection count from a host-side estimate pass (ceil of the average
+    # subpath length, RR on the fraction); here it is a static config knob
+    # (XLA needs static trip counts) defaulting to the Cornell-class
+    # average the estimate pass would measure.
+    vcm_uniform_vertex_sampling: bool = False
+    vcm_uniform_connections: int = 3
 
     # --- participating media (reference config.h:29, default off;
     #     active when the scene carries a Medium) ---
@@ -103,6 +128,23 @@ class RenderConfig:
 
     # --- output (reference Gui/Application.cpp:36-40) ---
     gamma: float = 2.2
+
+    # --- host-loop batching ---
+    # Iterations fused into ONE device dispatch (lax.fori_loop inside jit).
+    # The TPU analog of the reference server rendering 4 iterations per
+    # packet and transferring output once (RenderServerRenderer.cpp:110-113):
+    # per-dispatch latency through the runtime (~20 ms over a tunneled
+    # link) is paid once per chunk instead of once per iteration.
+    iterations_per_dispatch: int = 8
+
+    # --- reference parity mode ---
+    # Bundle the documented physics deviations back to the reference's
+    # behavior so parity-with-reference and fixed-physics are both testable:
+    # (a) NEE multiplies raw albedo instead of f=albedo/pi
+    #     (helpers/light.h:29-89 + Diffuse.cu attenuation *= Kd);
+    # (b) PPM clamps emitter passthrough radiance to <=1
+    #     (DirectRadianceEstimation.cu:38).
+    reference_faithful: bool = False
 
     # --- numerics ---
     # None = auto (Pallas kernels on TPU, XLA elsewhere); measured 1.8x on

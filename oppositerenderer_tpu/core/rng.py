@@ -144,8 +144,12 @@ class LaneSampler:
     out of counter-based hashing).
     """
 
-    def __init__(self, key: Array, lane_ids: Array):
-        self._cheap = _RNG_MODE == "cheap"
+    def __init__(self, key: Array, lane_ids: Array,
+                 cheap: bool | None = None):
+        # ``cheap`` threads RenderConfig.use_cheap_random explicitly (the
+        # integrators pass it); None falls back to the process default set
+        # by set_rng_mode (tests/benchmarks).
+        self._cheap = (_RNG_MODE == "cheap") if cheap is None else bool(cheap)
         lane_u32 = lane_ids.astype(jnp.uint32)
         if self._cheap:
             k0, k1 = _key_words(key)

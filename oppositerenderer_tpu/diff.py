@@ -39,6 +39,46 @@ def scale_emission(scene: Scene, scale: Array) -> Scene:
             emission=scene.lights.emission * scale))
 
 
+def make_sharded_loss_and_grad(scene: Scene, camera, cfg, mesh, wrt):
+    """Sharded differentiable rendering (north star: "parameter gradients
+    all-reduced overlapped with the backward pass").
+
+    Builds ``fn(values, iteration, key, radius_sq) -> (loss, grads)`` where
+    the forward render is tile-sharded over ``mesh``
+    (parallel.render.make_sharded_render_raw) and ``jax.grad`` flows through
+    the shard_map: each device back-propagates its own pixel band and the
+    replicated parameters' cotangents are psum'd across the mesh by the
+    shard_map transpose — XLA overlaps those all-reduces with the remaining
+    backward compute. ``wrt`` maps (field, material_idx) -> init value;
+    loss = mean radiance.
+    """
+    from .parallel.render import make_sharded_render_raw
+    raw = make_sharded_render_raw(scene, camera, cfg, mesh)
+    keys = list(wrt.keys())
+
+    def loss_fn(values, iteration, key, radius_sq):
+        s = scene
+        for (field, idx), v in zip(keys, values):
+            if field == "emission_scale":
+                s = scale_emission(s, v)
+            else:
+                s = set_material_param(s, field, idx, v)
+        img, _stats = raw(s, iteration, key, radius_sq)
+        return jnp.mean(img)
+
+    vg = jax.jit(jax.value_and_grad(loss_fn))
+
+    def fn(values=None, iteration=0, key=None, radius_sq=0.002):
+        vals = [wrt[k] for k in keys] if values is None else values
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        loss, grads = vg(vals, jnp.int32(iteration), key,
+                         jnp.float32(radius_sq))
+        return loss, dict(zip(keys, grads))
+
+    return fn
+
+
 def render_loss_and_grad(render_fn, scene: Scene, wrt):
     """Convenience: value+grad of ``mean(render_fn(scene))`` w.r.t. a pytree
     of overrides. ``wrt`` maps (field, material_idx) -> init value; returns

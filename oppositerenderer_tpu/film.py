@@ -38,6 +38,13 @@ class Film:
         safe = jnp.where(jnp.isfinite(radiance), radiance, 0.0)
         return Film(accum=self.accum + safe, iterations=self.iterations + 1)
 
+    def add_iterations(self, radiance_sum: Array, n: int) -> "Film":
+        """Accumulate a pre-summed [H,W,3] radiance of ``n`` iterations
+        (fused multi-iteration dispatch; each iteration is NaN-guarded
+        inside the fused step before summing)."""
+        return Film(accum=self.accum + radiance_sum,
+                    iterations=self.iterations + n)
+
     def mean_radiance(self) -> Array:
         it = jnp.maximum(self.iterations, 1)
         return self.accum / it.astype(jnp.float32)

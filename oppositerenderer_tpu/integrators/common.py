@@ -82,11 +82,18 @@ def pixel_coords(width: int, height: int):
 
 
 def nee_direct(scene: Scene, bsdf: BSDF, position: Array, active: Array,
-               sampler, n_samples: int, eps) -> Array:
+               sampler, n_samples: int, eps,
+               reference_faithful: bool = False) -> Array:
     """Next-event estimation at surface points: ``n_samples`` shadow rays to
     uniformly picked lights, averaged (pt/RayGeneratorPT.cu:88-100 and
     ppm/DirectRadianceEstimation.cu:49-71 — with the BSDF f applied instead
     of raw albedo; see lights.light_contribution docstring).
+
+    ``reference_faithful`` reproduces the reference's albedo-not-f NEE
+    (attenuation *= Kd at the hit, helpers/light.h:29-89 + Diffuse.cu): its
+    PT/PPM direct light is brighter by pi than a physically-normalized
+    Lambertian BSDF. Exposed so parity-with-reference renders are testable
+    alongside the fixed-physics default (RenderConfig.reference_faithful).
 
     Returns the direct radiance [N,3] (throughput NOT applied).
     """
@@ -107,6 +114,8 @@ def nee_direct(scene: Scene, bsdf: BSDF, position: Array, active: Array,
         dir_l = (point_on_light - position) \
             / jnp.maximum(dist, 1e-20)[:, None]
         f, _, _, _ = bsdf.f(dir_l)
+        if reference_faithful:
+            f = f * jnp.pi
         worth = nee_ok & (max3(contrib) > 0.0) & (max3(f) > 0.0)
         # not-worth lanes trace an empty interval (instant BVH root miss)
         occ = occluded(scene, position, dir_l, jnp.full((n,), 1.0) * eps,

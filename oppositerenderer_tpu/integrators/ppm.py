@@ -27,7 +27,8 @@ lights is cosine-distributed (exact for Lambertian emitters; the reference
 uses uniform-hemisphere without reweighting, PhotonGenerator.cu:48-52), the
 gather applies the BRDF kd/pi (reference multiplies kd only), and the
 emitter display clamp ``min(radiance, 1)`` (DirectRadianceEstimation.cu:38)
-is dropped.
+is dropped. RenderConfig.reference_faithful restores the clamp and the
+albedo-not-f NEE for parity renders.
 """
 from __future__ import annotations
 
@@ -46,7 +47,7 @@ from ..core.sampling import (sample_cone, sample_disc, sample_unit_sphere,
 from ..lights import AREA, POINT, SPOT
 from ..photon_map import (PhotonBatch, build_photon_grid,
                           build_stochastic_hash, gather_photons,
-                          gather_stochastic_hash)
+                          gather_stochastic_hash, min_cell_size_for_window)
 from ..scene.types import Scene
 from .common import bsdf_at_hit, nee_direct, pixel_coords, scene_epsilon
 
@@ -88,7 +89,7 @@ def trace_eye_pass(scene: Scene, camera: Camera, cfg: RenderConfig,
                    lane_ids: Array) -> HitpointBuffer:
     W, H = cfg.width, cfg.height
     n = px.shape[0]
-    s = LaneSampler(key, lane_ids)
+    s = LaneSampler(key, lane_ids, cheap=cfg.use_cheap_random)
     o, d = camera.generate_rays(px, py, s.next2(), W, H,
                                 dof_u=s.next2())
 
@@ -107,7 +108,7 @@ def trace_eye_pass(scene: Scene, camera: Camera, cfg: RenderConfig,
     def eye_step(carry, depth):
         hp, o, d, walking = carry
         skey = LaneSampler(jax.random.fold_in(key, 1000 + depth),
-                           lane_ids)
+                           lane_ids, cheap=cfg.use_cheap_random)
         hit = intersect(scene, o, d, jnp.full((n,), 1.0) * eps,
                         jnp.where(walking, BIG, 0.0))  # dead: empty ray
         live = walking & hit.hit
@@ -239,7 +240,7 @@ def trace_photon_pass(scene: Scene, cfg: RenderConfig, key: Array, eps,
     """
     n = lane_ids.shape[0]
     max_dep = cfg.max_photon_deposits_per_emitted
-    s = LaneSampler(key, lane_ids)
+    s = LaneSampler(key, lane_ids, cheap=cfg.use_cheap_random)
     o, d, power = emit_photons(scene, s)
 
     stored = jnp.zeros((n,), jnp.int32)
@@ -252,7 +253,7 @@ def trace_photon_pass(scene: Scene, cfg: RenderConfig, key: Array, eps,
     def photon_step(carry, depth):
         o, d, power, stored, alive, path_len, vol_stored = carry
         skey = LaneSampler(jax.random.fold_in(key, 2000 + depth),
-                           lane_ids)
+                           lane_ids, cheap=cfg.use_cheap_random)
         hit = intersect(scene, o, d, jnp.full((n,), 1.0) * eps,
                         jnp.where(alive, BIG, 0.0))    # dead: empty ray
         bsdf, is_emitter, _ = bsdf_at_hit(scene, hit, d)
@@ -374,8 +375,11 @@ def render_iteration(scene: Scene, camera: Camera, cfg: RenderConfig,
     # 4. indirect estimation at hitpoints
     if cfg.photon_map_structure == PhotonMapStructure.SORTED_UNIFORM_GRID:
         with pass_scope("ppm_grid_build"):
-            grid = build_photon_grid(photons, cfg.photon_grid_resolution)
-        s_gather = LaneSampler(jax.random.fold_in(est_key, 55), pixel_lanes)
+            grid = build_photon_grid(
+                photons, cfg.photon_grid_resolution,
+                min_cell_size=min_cell_size_for_window(radius, 4))
+        s_gather = LaneSampler(jax.random.fold_in(est_key, 55), pixel_lanes,
+                               cheap=cfg.use_cheap_random)
         with pass_scope("ppm_indirect_gather"):
             accum_power, gather_stats = gather_photons(
                 grid, hp.position, hp.ns, radius,
@@ -405,13 +409,17 @@ def render_iteration(scene: Scene, camera: Camera, cfg: RenderConfig,
     from ..bsdf import BSDF
     hp_bsdf = BSDF.make(hp.ns, hp.ng, hp.wo, hp.kd, ks_l, exp_l, kr_l,
                         kt_l, ior_l, diel_l)
-    s_est = LaneSampler(est_key, pixel_lanes)
+    s_est = LaneSampler(est_key, pixel_lanes, cheap=cfg.use_cheap_random)
     with pass_scope("ppm_direct_estimation"):
         direct = nee_direct(scene, hp_bsdf, hp.position, hp.found, s_est,
-                            cfg.ppm_direct_shadow_samples, eps)
+                            cfg.ppm_direct_shadow_samples, eps,
+                            reference_faithful=cfg.reference_faithful)
     direct = jnp.where(hp.found[:, None], hp.attenuation * direct, 0.0)
-    # emitter/specular/miss pixels pass stored radiance through (no clamp)
-    passthrough = hp.radiance
+    # emitter/specular/miss pixels pass stored radiance through; the
+    # reference clamps emitter radiance to <=1 (DirectRadianceEstimation
+    # .cu:38) -- reproduced only in reference_faithful mode
+    passthrough = (jnp.minimum(hp.radiance, 1.0)
+                   if cfg.reference_faithful else hp.radiance)
 
     # 5b. volumetric in-scatter on the camera segment (media redesign:
     # distance-sampled point gather, integrators/media.py docstring)
@@ -419,8 +427,11 @@ def render_iteration(scene: Scene, camera: Camera, cfg: RenderConfig,
     if scene.medium is not None:
         from .media import volumetric_radiance_estimate
         vol_radius = radius * 3.0   # volume density needs a larger support
-        vgrid = build_photon_grid(vol_photons, cfg.photon_grid_resolution)
-        s_vg = LaneSampler(jax.random.fold_in(est_key, 56), pixel_lanes)
+        vgrid = build_photon_grid(
+            vol_photons, cfg.photon_grid_resolution,
+            min_cell_size=min_cell_size_for_window(vol_radius, 4))
+        s_vg = LaneSampler(jax.random.fold_in(est_key, 56), pixel_lanes,
+                           cheap=cfg.use_cheap_random)
         vpow, _ = gather_photons(vgrid, hp.vol_point, hp.ns, vol_radius,
                                  max_cells_per_axis=4,
                                  budget_total=cfg.gather_photon_budget,

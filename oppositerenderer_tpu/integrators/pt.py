@@ -43,7 +43,7 @@ def render_lanes(scene: Scene, camera: Camera, cfg: RenderConfig,
     n = px.shape[0]
     eps = scene_epsilon(scene)
     key = iteration_key(base_key, iteration, PASS_PT)
-    s = LaneSampler(key, lane_ids)
+    s = LaneSampler(key, lane_ids, cheap=cfg.use_cheap_random)
     o, d = camera.generate_rays(px, py, s.next2(), cfg.width, cfg.height,
                                 dof_u=s.next2())
 
@@ -56,7 +56,8 @@ def render_lanes(scene: Scene, camera: Camera, cfg: RenderConfig,
     )
 
     def bounce(state, depth):
-        skey = LaneSampler(jax.random.fold_in(key, depth + 1), lane_ids)
+        skey = LaneSampler(jax.random.fold_in(key, depth + 1), lane_ids,
+                           cheap=cfg.use_cheap_random)
         # dead lanes trace an EMPTY interval: the BVH root test fails
         # immediately instead of a full (lockstep-priced) traversal
         hit = intersect(scene, state["o"], state["d"],
@@ -76,7 +77,8 @@ def render_lanes(scene: Scene, camera: Camera, cfg: RenderConfig,
         # --- NEE: shadow samples to uniformly picked lights ---------------
         if cfg.pt_direct_light_sampling and cfg.pt_shadow_samples > 0:
             direct = nee_direct(scene, bsdf, hit.position, active, skey,
-                                cfg.pt_shadow_samples, eps)
+                                cfg.pt_shadow_samples, eps,
+                                reference_faithful=cfg.reference_faithful)
             radiance = radiance + state["throughput"] * direct
 
         # --- sample continuation direction --------------------------------

@@ -106,7 +106,7 @@ def trace_light_pass(scene: Scene, camera: Camera, cfg: RenderConfig,
     """
     W, H = cfg.width, cfg.height
     n_paths = lane_ids.shape[0]
-    s = LaneSampler(key, lane_ids)
+    s = LaneSampler(key, lane_ids, cheap=cfg.use_cheap_random)
     n_lights = scene.lights.n_lights
     center, radius = scene.bounding_sphere
     max_verts = cfg.vcm_max_path_length - 1
@@ -152,7 +152,7 @@ def trace_light_pass(scene: Scene, camera: Camera, cfg: RenderConfig,
         (o, d, throughput, dVCM, dVC, dVM, alive, store, n_stored,
          splat) = carry
         skey = LaneSampler(jax.random.fold_in(key, 3000 + depth1),
-                           lane_ids)
+                           lane_ids, cheap=cfg.use_cheap_random)
         hit = intersect(scene, o, d, jnp.full((n_paths,), 1.0) * eps,
                         jnp.where(alive, BIG, 0.0))    # dead: empty ray
         bsdf, is_emitter, _ = bsdf_at_hit(scene, hit, d)
@@ -315,7 +315,7 @@ def trace_camera_pass(scene: Scene, camera: Camera, cfg: RenderConfig,
     preserves the estimator. ``n_light_paths`` is the global count."""
     W, H = cfg.width, cfg.height
     n = px.shape[0]
-    s = LaneSampler(key, lane_ids)
+    s = LaneSampler(key, lane_ids, cheap=cfg.use_cheap_random)
     n_lights = scene.lights.n_lights
     center, sradius = scene.bounding_sphere
     light_pick_prob = 1.0 / n_lights
@@ -325,11 +325,38 @@ def trace_camera_pass(scene: Scene, camera: Camera, cfg: RenderConfig,
                                 dof_u=s.next2())
     camera_pdf_w, _ = camera.pdf_quantities(d, W, H)
 
-    # hoist the paired light-subpath rows out of the bounce loop: ``pair``
-    # is fixed for the whole camera path, so gather the store ONCE
-    # ([n, max_verts, ...]) — regathering per (depth x vertex) step cost
-    # ~3.4 s/iteration in random-row gathers on v5e
-    store_p = jax.tree_util.tree_map(lambda a: a[pair], store)
+    uniform = cfg.vcm_uniform_vertex_sampling
+    if uniform:
+        # VCM_UNIFORM_VERTEX_SAMPLING: flatten the dense store and compact
+        # valid vertices to the front (valid-first stable sort replaces the
+        # reference's atomically-appended LVC, vcm.h:281) so a uniform draw
+        # over [0, n_valid) picks any stored vertex with equal probability
+        # (vcm.h:583-601).
+        flat = jax.tree_util.tree_map(
+            lambda a: a.reshape((-1,) + a.shape[2:]), store)
+        compact = jnp.argsort(~flat.valid, stable=True)
+        n_valid = jnp.sum(flat.valid).astype(jnp.int32)
+        n_conn = max(1, cfg.vcm_uniform_connections)
+        # Pick-pdf normalization. The target quantity is the SAME as 1:1
+        # pairing: the per-light-path expected sum of vertex connections,
+        # i.e. (1/n_paths) sum over ALL stored vertices. With n_conn
+        # uniform draws over n_valid vertices, each draw must be scaled by
+        #   invPick = n_valid / (n_conn * n_light_paths)
+        # (the reference's uniform branch is unfinished — its vertexPickPdf
+        # line references variables that don't exist, OptixRenderer.cpp:757
+        # with a "TODO scale by pick prob" at vcm.h:586 — so the estimator
+        # here is derived, and validated against 1:1 mode by
+        # tests/test_vcm.py::test_uniform_vertex_sampling_agrees_with_paired.)
+        inv_pick = jax.lax.stop_gradient(
+            jnp.maximum(n_valid.astype(jnp.float32), 1.0)
+            / (n_conn * n_light_paths))
+        store_p = None
+    else:
+        # hoist the paired light-subpath rows out of the bounce loop:
+        # ``pair`` is fixed for the whole camera path, so gather the store
+        # ONCE ([n, max_verts, ...]) — regathering per (depth x vertex)
+        # step cost ~3.4 s/iteration in random-row gathers on v5e
+        store_p = jax.tree_util.tree_map(lambda a: a[pair], store)
 
     # initCameraMisTerms (mis.h:84-105)
     dVCM = jax.lax.stop_gradient(_mis(n_light_paths / camera_pdf_w))
@@ -342,7 +369,7 @@ def trace_camera_pass(scene: Scene, camera: Camera, cfg: RenderConfig,
     def camera_step(carry, depth1):
         o, d, throughput, dVCM, dVC, dVM, alive, color = carry
         skey = LaneSampler(jax.random.fold_in(key, 4000 + depth1),
-                           lane_ids)
+                           lane_ids, cheap=cfg.use_cheap_random)
         hit = intersect(scene, o, d, jnp.full((n,), 1.0) * eps,
                         jnp.where(alive, BIG, 0.0))    # dead: empty ray
         live = alive & hit.hit
@@ -416,7 +443,23 @@ def trace_camera_pass(scene: Scene, camera: Camera, cfg: RenderConfig,
             color = color + jnp.where((ok & ~occ)[:, None], contrib, 0.0)
 
         # --- vertex connections (vcm.h:315-400, loop :603-616) ------------
-        if cfg.vcm_connect_vertices:
+        if cfg.vcm_connect_vertices and uniform:
+            # uniform vertex sampling: n_conn uniformly picked vertices
+            # from the global store per camera vertex (vcm.h:583-601)
+            for _k in range(n_conn):
+                u = skey.next1()
+                vi = jnp.minimum((u * n_valid.astype(jnp.float32))
+                                 .astype(jnp.int32),
+                                 jnp.maximum(n_valid - 1, 0))
+                src = compact[vi]
+                lv = jax.tree_util.tree_map(lambda a: a[src], flat)
+                lv_bsdf = _rebuild_bsdf(scene, lv.mat, lv.ns, lv.ng, lv.wo)
+                color = color + _connect_vertices(
+                    scene, cfg, bsdf, hit.position, throughput, dVCM, dVC,
+                    lv_bsdf, lv.position, lv.throughput, lv.dVCM, lv.dVC,
+                    connectable & lv.valid & (n_valid > 0), mis_vm_w, eps,
+                    inv_vert_pick_pdf=inv_pick)
+        elif cfg.vcm_connect_vertices:
             def vc_step(color_acc, lv):
                 lv_bsdf = _rebuild_bsdf(scene, lv.mat, lv.ns, lv.ng, lv.wo)
                 color_acc = color_acc + _connect_vertices(
@@ -447,8 +490,10 @@ def trace_camera_pass(scene: Scene, camera: Camera, cfg: RenderConfig,
 
 def _connect_vertices(scene, cfg, cam_bsdf, cam_hit, cam_thr, cam_dVCM,
                       cam_dVC, lv_bsdf, lv_pos, lv_thr, lv_dVCM, lv_dVC,
-                      active, mis_vm_w, eps):
-    """connectVertices (vcm.h:315-400)."""
+                      active, mis_vm_w, eps, inv_vert_pick_pdf=1.0):
+    """connectVertices (vcm.h:315-400). ``inv_vert_pick_pdf`` is 1 for 1:1
+    pairing; under uniform vertex sampling it is 1/vertexPickPdf
+    (vcm.h:367-371: scales the contribution and the mis_vm_w terms)."""
     direction = lv_pos - cam_hit
     dist2 = dot(direction, direction)
     dist = jnp.sqrt(jnp.maximum(dist2, 1e-30))
@@ -471,14 +516,15 @@ def _connect_vertices(scene, cfg, cam_bsdf, cam_hit, cam_thr, cam_dVCM,
     lv_dir_pdf_a = pdf_w_to_a(lv_dir_pdf, dist, cam_cos)
 
     w_light = jnp.maximum(0.0, _mis(cam_dir_pdf_a) * (
-        mis_vm_w + lv_dVCM + lv_dVC * _mis(lv_rev_pdf)))
+        mis_vm_w * inv_vert_pick_pdf + lv_dVCM + lv_dVC * _mis(lv_rev_pdf)))
     w_camera = jnp.maximum(0.0, _mis(lv_dir_pdf_a) * (
-        mis_vm_w + cam_dVCM + cam_dVC * _mis(cam_rev_pdf)))
+        mis_vm_w * inv_vert_pick_pdf + cam_dVCM
+        + cam_dVC * _mis(cam_rev_pdf)))
     mis_weight = jax.lax.stop_gradient(
         1.0 / (w_light + 1.0 + w_camera))
 
-    contrib = (geometry * mis_weight)[:, None] * cam_f * lv_f \
-        * cam_thr * lv_thr
+    contrib = (geometry * mis_weight * inv_vert_pick_pdf)[:, None] \
+        * cam_f * lv_f * cam_thr * lv_thr
 
     ok = (active & (geometry > 0.0) & (max3(cam_f) > 0.0)
           & (max3(lv_f) > 0.0))
@@ -498,8 +544,11 @@ def render_iteration(scene: Scene, camera: Camera, cfg: RenderConfig,
     eps = scene_epsilon(scene)
     n_light_paths = cfg.width * cfg.height  # light launch = image size
 
-    # host-side MIS factors (OptixRenderer.cpp:675-696); nVC=1 (1:1 pairing)
-    eta_vcm = float(n_light_paths) * jnp.pi * radius_sq
+    # host-side MIS factors (OptixRenderer.cpp:675-696):
+    # etaVCM = (nVM/nVC) pi r^2 with nVM = n_light_paths and nVC = 1 for
+    # 1:1 pairing, n_light_paths for uniform vertex sampling (:679)
+    n_vc = n_light_paths if cfg.vcm_uniform_vertex_sampling else 1
+    eta_vcm = (float(n_light_paths) / n_vc) * jnp.pi * radius_sq
     mis_vm_w = _mis(eta_vcm) if cfg.vcm_use_vm else jnp.zeros(())
     mis_vc_w = _mis(1.0 / eta_vcm) if cfg.vcm_use_vc else jnp.zeros(())
 

@@ -175,18 +175,25 @@ class MultiHostRenderer:
         """Render specific global iteration numbers into the local film
         (server-side onNewRenderCommandInQueue analog)."""
         import jax.numpy as jnp
-        from ..renderer import ppm_radius_sq_at_iteration
         r = self._renderer
         t0 = time.perf_counter()
-        for it in iterations:
-            radius_sq = ppm_radius_sq_at_iteration(
-                r.ppm_initial_radius, self.cfg.ppm_alpha, it)
-            radiance, _stats = r._step_fn()(
-                r.camera, jnp.int32(it), r.root_key, jnp.float32(radius_sq))
-            safe = jnp.where(jnp.isfinite(radiance), radiance, 0.0)
-            self._accum = safe if self._accum is None else \
-                self._accum + safe
-            self._count += 1
+        diffs = {iterations[i + 1] - iterations[i]
+                 for i in range(len(iterations) - 1)}
+        if len(iterations) > 1 and len(diffs) == 1:
+            # arithmetic progression (scheduler packets are contiguous;
+            # SPMD mode strides by process count): ONE fused dispatch
+            rad_sum, _stats = r.compute_iterations(
+                iterations[0], len(iterations), stride=diffs.pop())
+            self._accum = rad_sum if self._accum is None else \
+                self._accum + rad_sum
+            self._count += len(iterations)
+        else:
+            for it in iterations:
+                radiance, _stats = r.compute_iteration(it)
+                safe = jnp.where(jnp.isfinite(radiance), radiance, 0.0)
+                self._accum = safe if self._accum is None else \
+                    self._accum + safe
+                self._count += 1
         self.stats["packets"] += 1
         self.stats["iterations"] += len(iterations)
         self.stats["render_seconds"] += time.perf_counter() - t0

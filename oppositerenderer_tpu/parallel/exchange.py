@@ -1,0 +1,155 @@
+"""Photon exchange by grid-cell owner (all-to-all over ICI).
+
+The reference builds ONE full photon map on one GPU per iteration
+(``OptixRenderer_SpatialHash.cu:209-283``); round 1 of this build replicated
+that across the mesh with an ``all_gather`` (every device receiving every
+photon and building an identical grid — O(P*D) traffic and redundant sort
+work). This module is the TPU-native replacement, the north-star multi-chip
+capability:
+
+1. every device computes the GLOBAL photon AABB with ``pmin``/``pmax``
+   collectives so all partial grids share one coordinate system;
+2. each photon's grid cell is hashed to an OWNER device. Ownership is by
+   x-ROW (the ``(y, z)`` pair): the gather scans each x-contiguous run of
+   cells as one interval (IndirectRadianceEstimation.cu:104-112 — kept in
+   :func:`..photon_map.gather_photons`), so whole rows must live on one
+   device for that trick to survive sharding. A multiplicative hash of the
+   row id decorrelates spatially-dense regions across devices;
+3. photons are bucketed per destination into fixed-capacity slabs (static
+   shapes; overflow is *counted*, and only overflows past 2x the fair share)
+   and exchanged with ONE ``lax.all_to_all`` — per-device traffic O(P/D),
+   per-device photon memory O(P/D * safety) instead of O(P);
+4. each device sorts only its owned photons into a partial
+   :class:`..photon_map.PhotonGrid`.
+
+Queries (hitpoint gathers) are then evaluated against the partial maps:
+``all_gather`` the query points (queries are ~20x smaller than the photon
+map at reference scale: 0.26M pixels vs 4.2M photons), each device gathers
+its partial contribution, and a ``psum_scatter`` returns each device its own
+pixel band of the summed power — exact, because kernel-weighted photon power
+is additive over the disjoint cell partition.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.rng import _lowbias32
+from ..photon_map import (PhotonBatch, PhotonGrid, build_photon_grid,
+                          cell_coords, cell_index_1d, photon_grid_geometry)
+
+
+def _row_owner(cells: jax.Array, resolution: int, n_devices: int) -> jax.Array:
+    """Owner device of a linear cell id — constant along x so each
+    x-contiguous interval of the gather lives on exactly one device."""
+    row = (cells // resolution).astype(jnp.uint32)   # y + z*R
+    return (_lowbias32(row) % jnp.uint32(n_devices)).astype(jnp.int32)
+
+
+def exchange_photons_by_cell(photons: PhotonBatch, resolution: int,
+                             axis_name: str, n_devices: int,
+                             min_cell_size: jax.Array | None = None,
+                             capacity_factor: float = 2.0):
+    """Inside ``shard_map``: redistribute this device's photons to their
+    cell owners and build the local partial grid.
+
+    Returns ``(grid, stats)`` where ``grid`` holds ONLY the photons whose
+    cells this device owns (shared origin/cell_size), and ``stats`` counts
+    photons dropped by the fixed per-destination capacity.
+    """
+    p_local = photons.position.shape[0]
+    # --- shared grid geometry from the GLOBAL masked AABB ---
+    origin_l, cs_l = photon_grid_geometry(photons, resolution, min_cell_size)
+    # pmin/pmax collectives: recompute AABB from per-device reductions
+    v = photons.valid
+    big = jnp.float32(1e30)
+    pmin = jax.lax.pmin(
+        jnp.min(jnp.where(v[:, None], photons.position, big), axis=0),
+        axis_name)
+    pmax = jax.lax.pmax(
+        jnp.max(jnp.where(v[:, None], photons.position, -big), axis=0),
+        axis_name)
+    any_valid = jax.lax.pmax(jnp.any(v).astype(jnp.int32), axis_name) > 0
+    pmin = jnp.where(any_valid, pmin, 0.0)
+    pmax = jnp.where(any_valid, pmax, 1.0)
+    extent = jnp.maximum(pmax - pmin, 1e-6)
+    cell_size = jnp.max(extent) / resolution
+    if min_cell_size is not None:
+        cell_size = jnp.maximum(cell_size, min_cell_size)
+    origin = pmin
+    del origin_l, cs_l
+
+    # --- owner per photon ---
+    cells = cell_index_1d(
+        cell_coords(photons.position, origin, cell_size, resolution),
+        resolution)
+    owner = _row_owner(cells, resolution, n_devices)
+    owner = jnp.where(photons.valid, owner, n_devices)  # invalid sorts last
+
+    # --- sort by owner, co-moving all photon columns (one lax.sort) ---
+    pos, pw, dr = photons.position, photons.power, photons.direction
+    out = jax.lax.sort(
+        (owner, pos[:, 0], pos[:, 1], pos[:, 2], pw[:, 0], pw[:, 1],
+         pw[:, 2], dr[:, 0], dr[:, 1], dr[:, 2]), num_keys=1)
+    owner_s = out[0]
+    cols = jnp.stack(out[1:], axis=-1)               # [P, 9]
+
+    # --- slab capacity: fair share x safety, 8-row aligned ---
+    cap = int(-(-p_local * capacity_factor // n_devices))
+    cap = max(8, (cap + 7) // 8 * 8)
+
+    # group starts via searchsorted; slab rows gathered (not scattered)
+    starts = jnp.searchsorted(owner_s, jnp.arange(n_devices, dtype=owner_s.dtype),
+                              method="sort").astype(jnp.int32)
+    ends = jnp.searchsorted(owner_s,
+                            jnp.arange(1, n_devices + 1, dtype=owner_s.dtype),
+                            method="sort").astype(jnp.int32)
+    counts = ends - starts
+    src = starts[:, None] + jnp.arange(cap, dtype=jnp.int32)[None, :]  # [D,cap]
+    ok = jnp.arange(cap, dtype=jnp.int32)[None, :] < counts[:, None]
+    src_flat = jnp.minimum(src, p_local - 1).reshape(-1)
+    slab = cols[src_flat].reshape(n_devices, cap, 9)
+    slab_valid = ok
+    overflow = jnp.sum(jnp.maximum(counts - cap, 0))
+
+    # --- ONE all_to_all: row d of the slab goes to device d ---
+    recv = jax.lax.all_to_all(slab, axis_name, split_axis=0, concat_axis=0,
+                              tiled=True).reshape(-1, 9)       # [D*cap, 9]
+    recv_valid = jax.lax.all_to_all(
+        slab_valid, axis_name, split_axis=0, concat_axis=0,
+        tiled=True).reshape(-1)                                # [D*cap]
+
+    owned = PhotonBatch(position=recv[:, 0:3], power=recv[:, 3:6],
+                        direction=recv[:, 6:9], valid=recv_valid)
+    grid = build_photon_grid(owned, resolution, origin=origin,
+                             cell_size=cell_size)
+    stats = {"photon_exchange_overflow":
+             jax.lax.psum(overflow, axis_name).astype(jnp.int32)}
+    return grid, stats
+
+
+def sharded_gather(grid: PhotonGrid, q_position: jax.Array,
+                   q_normal: jax.Array, radius, axis_name: str, *,
+                   budget_total: int, u_stride: jax.Array | None = None,
+                   check_normal: bool = True, max_cells_per_axis: int = 4):
+    """Gather against a cell-partitioned photon map: all_gather the local
+    queries, accumulate each device's partial kernel-weighted power, and
+    psum_scatter each device its own band of the sum.
+
+    Exact (not approximate): the cell partition is disjoint, so the full-map
+    gather decomposes into the sum of partial gathers; per-device stride
+    subsampling of over-budget boxes stays unbiased per partition.
+    """
+    from ..photon_map import gather_photons
+
+    q_pos = jax.lax.all_gather(q_position, axis_name, tiled=True)
+    q_nrm = jax.lax.all_gather(q_normal, axis_name, tiled=True)
+    u = None
+    if u_stride is not None:
+        u = jax.lax.all_gather(u_stride, axis_name, tiled=True)
+    partial, stats = gather_photons(
+        grid, q_pos, q_nrm, radius, max_cells_per_axis=max_cells_per_axis,
+        budget_total=budget_total, check_normal=check_normal, u_stride=u)
+    mine = jax.lax.psum_scatter(partial, axis_name, scatter_dimension=0,
+                                tiled=True)
+    return mine, stats

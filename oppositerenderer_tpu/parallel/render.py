@@ -5,9 +5,12 @@ its only multi-GPU axis is whole-iteration sharding over TCP). Design:
 
 * **PT**: pixels (image rows) shard over ``tile``; purely data-parallel.
 * **PPM**: eye pass shards pixels; the photon pass shards emitted photons;
-  each shard's photons are ``all_gather``-ed over ICI so every device builds
-  the (identical) sorted grid and gathers its own pixels. (A cell-owner
-  all-to-all exchange is the planned upgrade.)
+  photons then travel to their grid-cell OWNER device via ONE
+  ``lax.all_to_all`` (parallel/exchange.py) so each device builds and holds
+  only its cell partition — O(P/D) traffic and memory per chip. Queries are
+  all_gather'd (20x smaller than photons at reference scale) and partial
+  gather sums return via ``psum_scatter``. ``PhotonExchange.ALL_GATHER``
+  keeps the replicate-everything fallback.
 * **VCM**: light subpaths shard like pixels (global count = n_pixels, so the
   1:1 pairing pixel<->path stays device-local); t=1 camera splats go to
   arbitrary pixels, so local splat images are ``psum``-ed and each device
@@ -26,11 +29,12 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..camera import Camera
-from ..config import RenderConfig, RenderMethod
+from ..config import PhotonExchange, RenderConfig, RenderMethod
 from ..core.rng import iteration_key
 from ..integrators import ppm, pt, vcm
 from ..integrators.common import pixel_coords, scene_epsilon
-from ..photon_map import PhotonBatch, build_photon_grid, gather_photons
+from ..photon_map import (PhotonBatch, build_photon_grid, gather_photons,
+                          min_cell_size_for_window)
 from ..scene.types import Scene
 from .mesh import TILE_AXIS
 
@@ -43,11 +47,18 @@ def _check_divisible(cfg: RenderConfig, n_dev: int):
         raise ValueError("photons_per_iteration must divide by device count")
 
 
-def make_sharded_render_fn(scene: Scene, camera: Camera, cfg: RenderConfig,
-                           mesh: Mesh):
-    """Returns jitted ``fn(iteration, base_key, radius_sq) -> ([H,W,3],
-    stats)`` sharded over ``mesh``. Scene/camera are closed over
-    (replicated)."""
+def make_sharded_render_raw(scene_template: Scene, camera: Camera,
+                            cfg: RenderConfig, mesh: Mesh):
+    """Un-jitted sharded step taking the scene as a TRACED argument:
+    ``fn(scene, iteration, base_key, radius_sq) -> ([H,W,3], stats)``.
+
+    The scene rides into the shard_map replicated (in_spec P()); because it
+    is an argument rather than a closure constant, ``jax.grad`` w.r.t.
+    scene parameters (material kd/ks/emission, light power) works through
+    the collectives — shard_map transposes a replicated input's cotangent
+    into the psum over the mesh that the north star's "parameter gradients
+    all-reduced" requires (see diff.make_sharded_loss_and_grad).
+    """
     n_dev = mesh.devices.size
     _check_divisible(cfg, n_dev)
     W, H = cfg.width, cfg.height
@@ -60,7 +71,8 @@ def make_sharded_render_fn(scene: Scene, camera: Camera, cfg: RenderConfig,
 
     method = cfg.render_method
 
-    def shard_fn(it, key, radius_sq, px_s, py_s, lanes_s, photon_lanes_s):
+    def shard_fn(scene, it, key, radius_sq, px_s, py_s, lanes_s,
+                 photon_lanes_s):
         if method == RenderMethod.PATH_TRACING:
             rad = pt.render_lanes(scene, camera, cfg, it, key, px_s, py_s,
                                   lanes_s)
@@ -69,7 +81,7 @@ def make_sharded_render_fn(scene: Scene, camera: Camera, cfg: RenderConfig,
         eps = scene_epsilon(scene)
         if method == RenderMethod.PROGRESSIVE_PHOTON_MAPPING:
             return _ppm_shard(scene, camera, cfg, it, key, radius_sq, eps,
-                              px_s, py_s, lanes_s, photon_lanes_s)
+                              px_s, py_s, lanes_s, photon_lanes_s, n_dev)
         # VCM
         return _vcm_shard(scene, camera, cfg, it, key, radius_sq, eps,
                           px_s, py_s, lanes_s, n, n_local)
@@ -77,21 +89,34 @@ def make_sharded_render_fn(scene: Scene, camera: Camera, cfg: RenderConfig,
     spec_l = P(TILE_AXIS)
     fn = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(), P(), P(), spec_l, spec_l, spec_l, spec_l),
+        in_specs=(P(), P(), P(), P(), spec_l, spec_l, spec_l, spec_l),
         out_specs=(P(TILE_AXIS, None), P()),
         check_vma=False)
 
-    @jax.jit
-    def step(iteration, base_key, radius_sq):
-        rad_lanes, stats = fn(iteration, base_key, radius_sq, px, py, lanes,
-                              photon_lanes)
+    def step(scene, iteration, base_key, radius_sq):
+        rad_lanes, stats = fn(scene, iteration, base_key, radius_sq,
+                              px, py, lanes, photon_lanes)
         return rad_lanes.reshape(H, W, 3), stats
 
     return step
 
 
+def make_sharded_render_fn(scene: Scene, camera: Camera, cfg: RenderConfig,
+                           mesh: Mesh):
+    """Returns jitted ``fn(iteration, base_key, radius_sq) -> ([H,W,3],
+    stats)`` sharded over ``mesh``. Scene/camera are closed over
+    (replicated)."""
+    raw = make_sharded_render_raw(scene, camera, cfg, mesh)
+
+    @jax.jit
+    def step(iteration, base_key, radius_sq):
+        return raw(scene, iteration, base_key, radius_sq)
+
+    return step
+
+
 def _ppm_shard(scene, camera, cfg, it, key, radius_sq, eps, px_s, py_s,
-               lanes_s, photon_lanes_s):
+               lanes_s, photon_lanes_s, n_dev):
     radius = jnp.sqrt(radius_sq)
     eye_key = iteration_key(key, it, ppm.PASS_PPM_EYE)
     photon_key = iteration_key(key, it, ppm.PASS_PPM_PHOTON)
@@ -101,16 +126,33 @@ def _ppm_shard(scene, camera, cfg, it, key, radius_sq, eps, px_s, py_s,
                             lanes_s)
     photons_local, vol_local, pstats = ppm.trace_photon_pass(
         scene, cfg, photon_key, eps, photon_lanes_s)
-    # exchange photons over ICI so every device sees the full map
-    gathered = jax.tree_util.tree_map(
-        lambda a: jax.lax.all_gather(a, TILE_AXIS, tiled=True),
-        photons_local)
-    grid = build_photon_grid(gathered, cfg.photon_grid_resolution)
     from ..core.rng import LaneSampler as _LS
-    s_gather = _LS(jax.random.fold_in(est_key, 55), lanes_s)
-    accum_power, gstats = gather_photons(
-        grid, hp.position, hp.ns, radius, max_cells_per_axis=4,
-        budget_total=cfg.gather_photon_budget, u_stride=s_gather.next1())
+    s_gather = _LS(jax.random.fold_in(est_key, 55), lanes_s,
+                   cheap=cfg.use_cheap_random)
+    mcs = min_cell_size_for_window(radius, 4)
+    if cfg.photon_exchange == PhotonExchange.ALL_TO_ALL:
+        # cell-owner exchange: each device keeps only its owned cells
+        from .exchange import exchange_photons_by_cell, sharded_gather
+        grid, xstats = exchange_photons_by_cell(
+            photons_local, cfg.photon_grid_resolution, TILE_AXIS, n_dev,
+            min_cell_size=mcs,
+            capacity_factor=cfg.photon_exchange_capacity_factor)
+        accum_power, gstats = sharded_gather(
+            grid, hp.position, hp.ns, radius, TILE_AXIS,
+            budget_total=max(16, cfg.gather_photon_budget // n_dev),
+            u_stride=s_gather.next1())
+        gstats = {**gstats, **xstats}
+    else:
+        # replicate photons over ICI; every device builds the full map
+        gathered = jax.tree_util.tree_map(
+            lambda a: jax.lax.all_gather(a, TILE_AXIS, tiled=True),
+            photons_local)
+        grid = build_photon_grid(gathered, cfg.photon_grid_resolution,
+                                 min_cell_size=mcs)
+        accum_power, gstats = gather_photons(
+            grid, hp.position, hp.ns, radius, max_cells_per_axis=4,
+            budget_total=cfg.gather_photon_budget,
+            u_stride=s_gather.next1())
 
     indirect = (accum_power * (hp.kd / jnp.pi) * hp.attenuation
                 / (jnp.pi * radius_sq * cfg.photons_per_iteration))
@@ -123,24 +165,40 @@ def _ppm_shard(scene, camera, cfg, it, key, radius_sq, eps, px_s, py_s,
         scene.materials.bsdf_coefficients(hp.mat)
     hp_bsdf = BSDF.make(hp.ns, hp.ng, hp.wo, hp.kd, ks_l, exp_l, kr_l,
                         kt_l, ior_l, diel_l)
-    s_est = LaneSampler(est_key, lanes_s)
+    s_est = LaneSampler(est_key, lanes_s, cheap=cfg.use_cheap_random)
     direct = nee_direct(scene, hp_bsdf, hp.position, hp.found, s_est,
-                        cfg.ppm_direct_shadow_samples, eps)
+                        cfg.ppm_direct_shadow_samples, eps,
+                        reference_faithful=cfg.reference_faithful)
     direct = jnp.where(hp.found[:, None], hp.attenuation * direct, 0.0)
 
     volumetric = jnp.zeros_like(direct)
     if scene.medium is not None:
         from ..integrators.media import volumetric_radiance_estimate
-        vol_all = jax.tree_util.tree_map(
-            lambda a: jax.lax.all_gather(a, TILE_AXIS, tiled=True),
-            vol_local)
         vol_radius = radius * 3.0
-        vgrid = build_photon_grid(vol_all, cfg.photon_grid_resolution)
-        s_vg = _LS(jax.random.fold_in(est_key, 56), lanes_s)
-        vpow, _ = gather_photons(
-            vgrid, hp.vol_point, hp.ns, vol_radius, max_cells_per_axis=4,
-            budget_total=cfg.gather_photon_budget,
-            check_normal=False, u_stride=s_vg.next1())
+        vol_mcs = min_cell_size_for_window(vol_radius, 4)
+        s_vg = _LS(jax.random.fold_in(est_key, 56), lanes_s,
+                   cheap=cfg.use_cheap_random)
+        if cfg.photon_exchange == PhotonExchange.ALL_TO_ALL:
+            from .exchange import exchange_photons_by_cell, sharded_gather
+            vgrid, _vx = exchange_photons_by_cell(
+                vol_local, cfg.photon_grid_resolution, TILE_AXIS, n_dev,
+                min_cell_size=vol_mcs,
+                capacity_factor=cfg.photon_exchange_capacity_factor)
+            vpow, _ = sharded_gather(
+                vgrid, hp.vol_point, hp.ns, vol_radius, TILE_AXIS,
+                budget_total=max(16, cfg.gather_photon_budget // n_dev),
+                check_normal=False, u_stride=s_vg.next1())
+        else:
+            vol_all = jax.tree_util.tree_map(
+                lambda a: jax.lax.all_gather(a, TILE_AXIS, tiled=True),
+                vol_local)
+            vgrid = build_photon_grid(vol_all, cfg.photon_grid_resolution,
+                                      min_cell_size=vol_mcs)
+            vpow, _ = gather_photons(
+                vgrid, hp.vol_point, hp.ns, vol_radius,
+                max_cells_per_axis=4,
+                budget_total=cfg.gather_photon_budget,
+                check_normal=False, u_stride=s_vg.next1())
         volumetric = volumetric_radiance_estimate(
             scene.medium, vpow, vol_radius, hp.vol_len, hp.vol_t,
             cfg.photons_per_iteration)

@@ -70,11 +70,23 @@ def cell_index_1d(c: Array, resolution: int) -> Array:
             + c[..., 2] * resolution * resolution)
 
 
-def build_photon_grid(photons: PhotonBatch, resolution: int) -> PhotonGrid:
-    """createUniformGridPhotonMap (OptixRenderer_SpatialHash.cu:209-283)."""
+def min_cell_size_for_window(radius: Array, max_cells_per_axis: int) -> Array:
+    """Smallest cell size for which a [p-r, p+r] search box is guaranteed to
+    span at most ``max_cells_per_axis`` cells per axis (cells touched =
+    floor(2r/cs)+2 in the worst alignment), so gather_photons' static window
+    covers the whole sphere — no silent energy truncation when the radius is
+    large relative to the photon AABB (e.g. the volumetric gather's 3x
+    radius, or a user-set Gui-default r0=0.20)."""
+    return (2.0 * radius / (max_cells_per_axis - 1)) * (1.0 + 1e-5)
+
+
+def photon_grid_geometry(photons: PhotonBatch, resolution: int,
+                         min_cell_size: Array | None = None):
+    """(origin, cell_size) of the uniform grid over the photons' masked AABB
+    (the thrust transform_reduce step of
+    OptixRenderer_SpatialHash.cu:209-283), with an optional cell-size floor."""
     p = photons.position
     v = photons.valid
-    # masked AABB (thrust transform_reduce equivalent)
     pmin = jnp.min(jnp.where(v[:, None], p, BIG), axis=0)
     pmax = jnp.max(jnp.where(v[:, None], p, -BIG), axis=0)
     any_valid = jnp.any(v)
@@ -82,7 +94,31 @@ def build_photon_grid(photons: PhotonBatch, resolution: int) -> PhotonGrid:
     pmax = jnp.where(any_valid, pmax, 1.0)
     extent = jnp.maximum(pmax - pmin, 1e-6)
     cell_size = jnp.max(extent) / resolution
-    origin = pmin
+    if min_cell_size is not None:
+        cell_size = jnp.maximum(cell_size, min_cell_size)
+    return pmin, cell_size
+
+
+def build_photon_grid(photons: PhotonBatch, resolution: int,
+                      min_cell_size: Array | None = None,
+                      origin: Array | None = None,
+                      cell_size: Array | None = None) -> PhotonGrid:
+    """createUniformGridPhotonMap (OptixRenderer_SpatialHash.cu:209-283).
+
+    ``min_cell_size`` (traced ok) floors the cell size — pass
+    :func:`min_cell_size_for_window` of the gather radius so the gather's
+    fixed cell window is exact (over-budget cells are handled by the
+    gather's unbiased stride subsampling, never dropped).
+
+    ``origin``/``cell_size`` pin the grid geometry externally — the sharded
+    all-to-all exchange computes them from the GLOBAL photon AABB so every
+    device's partial grid shares one coordinate system.
+    """
+    if origin is None or cell_size is None:
+        origin, cell_size = photon_grid_geometry(photons, resolution,
+                                                 min_cell_size)
+    p = photons.position
+    v = photons.valid
 
     n_cells = resolution ** 3
     cells = cell_index_1d(cell_coords(p, origin, cell_size, resolution),

@@ -34,6 +34,18 @@ def ppm_radius_sq_at_iteration(r0: float, alpha: float,
     return r2
 
 
+def ppm_radius_sq_traced(r0, alpha: float, iteration):
+    """The same Knaus-Zwicker schedule for a TRACED iteration index:
+    prod_{k<i} (k+a)/(k+1) = Gamma(i+a) / (Gamma(a) Gamma(i+1)), closed
+    form via lgamma so the fused multi-iteration step can compute each
+    iteration's radius on-device."""
+    itf = jnp.asarray(iteration, jnp.float32)
+    a = jnp.float32(alpha)
+    log_prod = (jax.lax.lgamma(itf + a) - jax.lax.lgamma(a)
+                - jax.lax.lgamma(itf + 1.0))
+    return jnp.square(jnp.asarray(r0, jnp.float32)) * jnp.exp(log_prod)
+
+
 class Renderer:
     def __init__(self, scene: Scene, camera: Camera, cfg: RenderConfig,
                  seed: int = 0, ppm_initial_radius: float | None = None):
@@ -72,44 +84,115 @@ class Renderer:
         self.metrics: dict[str, Any] = {}
 
     # ------------------------------------------------------------------
-    def _step_fn(self):
-        """Build + cache the jitted per-iteration render step."""
-        from .accel import set_backend
-        from .core.rng import set_rng_mode
+    def _scene_for_trace(self) -> Scene:
+        """Scene with the intersection backend resolved from the config
+        (threaded per-scene instead of a module global, so renderers with
+        different backends coexist in one process)."""
+        if self.scene.backend is not None:
+            return self.scene
         use_pallas = self.cfg.use_pallas
         if use_pallas is None:   # auto: kernels on TPU
             use_pallas = jax.default_backend() == "tpu"
-        set_backend("pallas" if use_pallas else "jnp")
-        set_rng_mode("cheap" if self.cfg.use_cheap_random else "threefry")
-        method = self.cfg.render_method
-        cache_key = (method, self.cfg)
-        if cache_key in self._compiled:
-            return self._compiled[cache_key]
+        return self.scene.with_backend("pallas" if use_pallas else "jnp")
 
+    def _raw_step(self):
+        """(camera, iteration, key, radius_sq) -> (radiance [H,W,3], stats)
+        for the configured method — the un-jitted single-iteration body."""
+        scene = self._scene_for_trace()
+        cfg = self.cfg
+        method = cfg.render_method
         if method == RenderMethod.PATH_TRACING:
             from .integrators import pt
 
             def step(camera, iteration, key, _radius_sq):
-                return pt.render_iteration(self.scene, camera, self.cfg,
+                return pt.render_iteration(scene, camera, cfg,
                                            iteration, key), {}
         elif method == RenderMethod.PROGRESSIVE_PHOTON_MAPPING:
             from .integrators import ppm
 
             def step(camera, iteration, key, radius_sq):
-                return ppm.render_iteration(self.scene, camera, self.cfg,
+                return ppm.render_iteration(scene, camera, cfg,
                                             iteration, key, radius_sq)
         elif method == RenderMethod.VCM_BIDIRECTIONAL_PATH_TRACING:
             from .integrators import vcm
 
             def step(camera, iteration, key, radius_sq):
-                return vcm.render_iteration(self.scene, camera, self.cfg,
+                return vcm.render_iteration(scene, camera, cfg,
                                             iteration, key, radius_sq)
         else:
             raise ValueError(f"unknown method {method}")
+        return step
 
-        fn = jax.jit(step)
+    def _step_fn(self):
+        """Build + cache the jitted per-iteration render step."""
+        cache_key = ("single", self.cfg)
+        if cache_key not in self._compiled:
+            self._compiled[cache_key] = jax.jit(self._raw_step())
+        return self._compiled[cache_key]
+
+    def _multi_step_fn(self, n: int, stride: int = 1):
+        """Jitted fused step rendering ``n`` iterations
+        ``start, start+stride, ...`` in ONE dispatch:
+        (camera, start_iteration, key) -> (radiance_sum, stats).
+
+        ``stride`` covers both host-loop chunks (stride 1) and the
+        distributed SPMD assignment where worker w renders w, w+P, ...
+        in one fused dispatch. The per-iteration PPM radius is computed
+        on-device from the pure Knaus-Zwicker schedule
+        (ppm_radius_sq_traced), matching the host-side schedule every other
+        path uses — the same property that makes the reference's
+        multi-iteration packets mergeable
+        (DistributedApplication.cpp:101-113)."""
+        cache_key = ("multi", n, stride, self.cfg)
+        if cache_key in self._compiled:
+            return self._compiled[cache_key]
+        step = self._raw_step()
+        H, W = self.cfg.height, self.cfg.width
+        r0 = self.ppm_initial_radius
+        alpha = self.cfg.ppm_alpha
+
+        def fused(camera, start_iteration, key):
+            def body(k, carry):
+                acc, stats_acc = carry
+                it = start_iteration + k * stride
+                r2 = ppm_radius_sq_traced(r0, alpha, it)
+                rad, stats = step(camera, it, key, r2)
+                rad = jnp.where(jnp.isfinite(rad), rad, 0.0)
+                stats_sum = {kk: jnp.sum(v).astype(jnp.float32)
+                             for kk, v in stats.items()}
+                if stats_acc is None:
+                    return acc + rad, stats_sum
+                return (acc + rad,
+                        {kk: stats_acc[kk] + v
+                         for kk, v in stats_sum.items()})
+
+            # peel iteration 0 to learn the stats structure, loop the rest
+            acc, stats0 = body(jnp.int32(0),
+                               (jnp.zeros((H, W, 3), jnp.float32), None))
+            if n > 1:
+                acc, stats0 = jax.lax.fori_loop(1, n, body, (acc, stats0))
+            return acc, stats0
+
+        fn = jax.jit(fused)
         self._compiled[cache_key] = fn
         return fn
+
+    def compute_iteration(self, iteration: int):
+        """Radiance + stats for one specific GLOBAL iteration number without
+        touching the film — the unit of work a distributed worker renders
+        (RenderServerRenderer::renderFrame analog). The PPM radius is the
+        pure Knaus-Zwicker schedule at that iteration, so any worker
+        computes the same frame for the same number."""
+        radius_sq = ppm_radius_sq_at_iteration(
+            self.ppm_initial_radius, self.cfg.ppm_alpha, iteration)
+        return self._step_fn()(self.camera, jnp.int32(iteration),
+                               self.root_key, jnp.float32(radius_sq))
+
+    def compute_iterations(self, start: int, n: int, stride: int = 1):
+        """Fused radiance SUM + summed stats over iterations
+        ``start, start+stride, ..., start+(n-1)*stride`` — one dispatch."""
+        return self._multi_step_fn(n, stride)(self.camera, jnp.int32(start),
+                                              self.root_key)
 
     def render_next_iteration(self) -> dict[str, Any]:
         """Render one iteration into the film; returns metrics
@@ -135,8 +218,32 @@ class Renderer:
         return self.metrics
 
     def render(self, iterations: int) -> Film:
-        for _ in range(iterations):
-            self.render_next_iteration()
+        """Render ``iterations`` iterations, fusing up to
+        ``cfg.iterations_per_dispatch`` per device dispatch."""
+        chunk = max(1, self.cfg.iterations_per_dispatch)
+        done = 0
+        while done < iterations:
+            n = min(chunk, iterations - done)
+            if n == 1:
+                self.render_next_iteration()
+                done += 1
+                continue
+            t0 = time.perf_counter()
+            rad_sum, stats = self._multi_step_fn(n)(
+                self.camera, jnp.int32(self.iteration), self.root_key)
+            self.film = self.film.add_iterations(rad_sum, n)
+            self.film.accum.block_until_ready()
+            dt = time.perf_counter() - t0
+            self.iteration += n
+            done += n
+            self.metrics = dict(
+                iteration=self.iteration,
+                iteration_seconds=dt / n,
+                ppm_radius=ppm_radius_sq_at_iteration(
+                    self.ppm_initial_radius, self.cfg.ppm_alpha,
+                    self.iteration - 1) ** 0.5,
+                **{k: float(v) for k, v in stats.items()},
+            )
         return self.film
 
     # ------------------------------------------------------------------

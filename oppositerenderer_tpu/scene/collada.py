@@ -48,6 +48,31 @@ def _parse_ints(text: str) -> np.ndarray:
 BVH_AUTO_THRESHOLD = 2048  # tris above which loaders attach a BVH
 
 
+def generate_smooth_normals(tris: np.ndarray) -> np.ndarray:
+    """Area-weighted vertex normals for a triangle soup [T,3,3] -> [T,3,3].
+
+    The analog of the reference's aiProcess_GenSmoothNormals import step
+    (Scene.cpp:96-108): vertices are matched by (quantized) position across
+    the mesh and each one averages the area-weighted face normals of every
+    incident triangle. (Assimp additionally cuts at a max smoothing angle;
+    this full-smooth variant matches its near-default 175-degree setting.)
+    """
+    v0, v1, v2 = tris[:, 0], tris[:, 1], tris[:, 2]
+    fn = np.cross(v1 - v0, v2 - v0)  # area-weighted face normal (x2)
+    pts = tris.reshape(-1, 3)
+    scale = max(float(np.abs(pts).max()), 1e-9)
+    keys = np.round(pts / scale * 1e6).astype(np.int64)
+    _, inv = np.unique(keys, axis=0, return_inverse=True)
+    acc = np.zeros((inv.max() + 1, 3), np.float64)
+    np.add.at(acc, inv, np.repeat(fn, 3, axis=0))
+    n = acc[inv].reshape(-1, 3, 3)
+    ln = np.linalg.norm(n, axis=-1, keepdims=True)
+    flat = np.repeat(fn, 3, axis=0).reshape(-1, 3, 3)
+    flat /= np.maximum(np.linalg.norm(flat, axis=-1, keepdims=True), 1e-20)
+    return np.where(ln > 1e-12, n / np.maximum(ln, 1e-20), flat).astype(
+        np.float32)
+
+
 def load_scene_file(path: str | Path) -> tuple[Scene, Camera]:
     path = Path(path)
     if not path.exists():
@@ -346,11 +371,13 @@ def load_collada(path: str | Path) -> tuple[Scene, Camera]:
             mat_id = binds.get(mat_sym, mat_sym)
             tris = pos.reshape(-1, 3, 3)
             midx = get_material(mat_id, tris)
+            if nrm is None:
+                # smooth-normal generation when the file authors none
+                # (reference: aiProcess_GenSmoothNormals, Scene.cpp:96-108)
+                nrm = generate_smooth_normals(tris).reshape(-1, 3)
             for f in range(tris.shape[0]):
-                kw = {}
-                if nrm is not None:
-                    nn = nrm.reshape(-1, 3, 3)[f]
-                    kw = dict(n0=nn[0], n1=nn[1], n2=nn[2])
+                nn = nrm.reshape(-1, 3, 3)[f]
+                kw = dict(n0=nn[0], n1=nn[1], n2=nn[2])
                 if uv is not None:
                     uu = uv.reshape(-1, 3, 2)[f]
                     kw.update(uv0=uu[0], uv1=uu[1], uv2=uu[2])

@@ -134,6 +134,15 @@ class Scene:
     bvh: object = None           # accel.bvh.Bvh when built (big scenes)
     medium: Medium | None = None  # participating medium (None = off)
     name: str = struct.field(pytree_node=False, default="scene")
+    # intersection backend for THIS scene: "jnp" | "pallas" |
+    # "pallas_interpret" | None (= resolve from accel.intersect's process
+    # default at trace time). A per-scene static field instead of a module
+    # global so two renderers with different backends can coexist in one
+    # process (each jitted step closes over its own scene).
+    backend: str | None = struct.field(pytree_node=False, default=None)
+
+    def with_backend(self, backend: str | None) -> "Scene":
+        return self.replace(backend=backend)
 
     @property
     def has_textures(self) -> bool:

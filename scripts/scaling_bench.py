@@ -1,0 +1,116 @@
+"""Multi-process scaling measurement (BASELINE target: >=85% rays/s scaling
+efficiency at 2 hosts; the reference's qualitative claim is "very good
+speedup" up to 6 GPUs over GbE, /root/reference/README.md:21).
+
+Runs the same iteration-sharded PT job with 1 and N CPU-backend processes
+(each process = one "host" with one device, pinned to one core, localhost DCN via
+jax.distributed) and writes SCALING.md + scaling.json. Usage:
+
+    python scripts/scaling_bench.py [--nproc 2] [--iters 16] [--size 64]
+"""
+import argparse
+import json
+import os
+import socket
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+WORKER = REPO / "tests" / "distributed_worker.py"
+
+
+def free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def run_farm(nproc, iters, size, method, pin_cores=True):
+    """``pin_cores`` gives every worker ONE core via taskset so the
+    1-process baseline and each of the N workers run on identical hardware
+    — without it, single-process XLA already consumes every core of this
+    box and an N-process run cannot show speedup regardless of protocol
+    efficiency (what is being measured here is the iteration-sharding
+    protocol, the stand-in for one-chip-per-host TPU workers)."""
+    port = free_port()
+    out = Path(tempfile.mkdtemp()) / "merged.npz"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # see tests/test_multiprocess.py
+    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    ncores = os.cpu_count() or 1
+    procs = []
+    for i in range(nproc):
+        cmd = [sys.executable, str(WORKER), str(i), str(nproc), str(port),
+               str(out), str(iters), str(size), method]
+        if pin_cores:
+            cmd = ["taskset", "-c", str(i % ncores)] + cmd
+        procs.append(subprocess.Popen(cmd, env=env, cwd=str(REPO)))
+    for p in procs:
+        p.wait(timeout=1200)
+        assert p.returncode == 0, f"worker failed rc={p.returncode}"
+    z = np.load(out)
+    return float(z["seconds"]), z
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nproc", type=int, default=2)
+    ap.add_argument("--iters", type=int, default=16)
+    ap.add_argument("--size", type=int, default=64)
+    ap.add_argument("--method", default="pt")
+    args = ap.parse_args()
+
+    t1, _ = run_farm(1, args.iters, args.size, args.method)
+    tn, _ = run_farm(args.nproc, args.iters, args.size, args.method)
+    speedup = t1 / tn
+    eff = speedup / args.nproc
+    result = {
+        "method": args.method, "iterations": args.iters,
+        "resolution": f"{args.size}x{args.size}",
+        "seconds_1proc": round(t1, 3),
+        f"seconds_{args.nproc}proc": round(tn, 3),
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(eff, 4),
+        "backend": "cpu (localhost DCN via jax.distributed)",
+        "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
+    }
+    (REPO / "scaling.json").write_text(json.dumps(result, indent=2) + "\n")
+    (REPO / "SCALING.md").write_text(f"""# Multi-process scaling
+
+Iteration-sharded rendering over real `jax.distributed` processes
+(localhost coordinator, one CPU device per process — the in-environment
+stand-in for multi-host TPU; see tests/test_multiprocess.py for the
+correctness assert, parallel/distributed.py for the design).
+
+| metric | value |
+|---|---|
+| method / size / iterations | {args.method} / {args.size}^2 / {args.iters} |
+| 1-process wall time | {t1:.3f} s |
+| {args.nproc}-process wall time | {tn:.3f} s |
+| speedup | {speedup:.3f}x |
+| scaling efficiency | {eff * 100:.1f}% |
+
+Each worker (and the 1-process baseline) is pinned to a single core so
+per-worker hardware is identical across runs.
+
+Each worker (and the 1-process baseline) is pinned to a single core via
+taskset so per-worker hardware is identical across runs. Compile time is
+excluded on every worker (each compiles its own step before the timed
+region, like the reference excludes its 60 s OptiX JIT).
+Reproduce: `python scripts/scaling_bench.py --nproc {args.nproc} --iters
+{args.iters} --size {args.size}`.
+""")
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -192,3 +192,37 @@ def test_kdtree_in_ppm_iteration():
     diff = float(jnp.abs(rad_kd - rad_grid).mean())
     scale = float(jnp.abs(rad_grid).mean()) + 1e-6
     assert diff / scale < 0.05
+
+
+def test_large_radius_window_conserves_energy():
+    """Radius spanning many more cells than the static 4^3 gather window:
+    with min_cell_size_for_window the grid coarsens so the window still
+    covers the whole sphere (VERDICT r1: 3x volumetric radius silently
+    truncated with the default 100^3 grid)."""
+    photons = make_photons(n=200, frac_valid=1.0)
+    radius = 0.9  # box extent 2.0, so at res=100 2r spans ~90 cells
+    grid = pm.build_photon_grid(
+        photons, 100,
+        min_cell_size=pm.min_cell_size_for_window(jnp.float32(radius), 4))
+    q = jnp.asarray([[1.0, 1.0, 1.0], [0.3, 1.7, 0.9]])
+    nrm = jnp.asarray([0.0, 1.0, 0.0])
+    got, _ = pm.gather_photons(grid, q, jnp.broadcast_to(nrm, (2, 3)),
+                               jnp.float32(radius),
+                               max_cells_per_axis=4, budget_total=256)
+    want = brute_force_gather(photons, q, nrm, radius)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_large_radius_truncates_without_floor():
+    """Sanity: the same query WITHOUT the cell-size floor loses energy —
+    documents why min_cell_size_for_window exists."""
+    photons = make_photons(n=200, frac_valid=1.0)
+    radius = 0.9
+    grid = pm.build_photon_grid(photons, 100)
+    q = jnp.asarray([[1.0, 1.0, 1.0]])
+    nrm = jnp.asarray([0.0, 1.0, 0.0])
+    got, _ = pm.gather_photons(grid, q, jnp.broadcast_to(nrm, (1, 3)),
+                               jnp.float32(radius),
+                               max_cells_per_axis=4, budget_total=256)
+    want = brute_force_gather(photons, q, nrm, radius)
+    assert np.asarray(got).sum() < 0.5 * want.sum()

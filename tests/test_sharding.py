@@ -3,7 +3,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from oppositerenderer_tpu.config import RenderConfig, RenderMethod
+from oppositerenderer_tpu.config import (PhotonExchange, RenderConfig,
+                                         RenderMethod)
 from oppositerenderer_tpu.core.rng import make_root_key
 from oppositerenderer_tpu.integrators import ppm, pt, vcm
 from oppositerenderer_tpu.parallel import make_mesh, make_sharded_render_fn
@@ -25,23 +26,35 @@ def cfg_for(method, **kw):
     return RenderConfig(**base)
 
 
-@pytest.mark.parametrize("method,unsharded_fn", [
-    (RenderMethod.PATH_TRACING,
+@pytest.mark.parametrize("method,exchange,unsharded_fn", [
+    (RenderMethod.PATH_TRACING, None,
      lambda s, c, cfg, it, key, r2: (pt.render_iteration(s, c, cfg, it, key),
                                      {})),
-    (RenderMethod.PROGRESSIVE_PHOTON_MAPPING,
+    (RenderMethod.PROGRESSIVE_PHOTON_MAPPING, PhotonExchange.ALL_GATHER,
      lambda s, c, cfg, it, key, r2: ppm.render_iteration(s, c, cfg, it, key,
                                                          r2)),
-    (RenderMethod.VCM_BIDIRECTIONAL_PATH_TRACING,
+    (RenderMethod.PROGRESSIVE_PHOTON_MAPPING, PhotonExchange.ALL_TO_ALL,
+     lambda s, c, cfg, it, key, r2: ppm.render_iteration(s, c, cfg, it, key,
+                                                         r2)),
+    (RenderMethod.VCM_BIDIRECTIONAL_PATH_TRACING, None,
      lambda s, c, cfg, it, key, r2: vcm.render_iteration(s, c, cfg, it, key,
                                                          r2)),
 ])
-def test_sharded_matches_unsharded(cornell, method, unsharded_fn):
+def test_sharded_matches_unsharded(cornell, method, exchange, unsharded_fn):
     """8-device tile-sharded render vs single-device: the per-lane
     counter-based RNG makes streams identical, so images match to float
-    tolerance. (VCM pairing permutes across shards, so compare means.)"""
+    tolerance. (VCM pairing permutes across shards, so compare means.)
+
+    The PPM case runs BOTH exchange strategies: all_gather replication is
+    stream-identical; the all-to-all cell-owner partition is sum-identical
+    when no stride subsampling triggers, so the budget is set high enough
+    that every box is fully gathered on both paths.
+    """
     scene, cam = cornell
-    cfg = cfg_for(method)
+    kw = {}
+    if exchange is not None:
+        kw = dict(photon_exchange=exchange, gather_photon_budget=4096)
+    cfg = cfg_for(method, **kw)
     mesh = make_mesh(8)
     key = make_root_key(3)
     it = jnp.int32(2)
