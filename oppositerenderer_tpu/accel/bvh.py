@@ -13,6 +13,33 @@ Traversal runs under ``lax.while_loop`` and is wrapped in a zero-gradient
 ``custom_vjp``: intersection outputs carry no material-parameter dependence
 (the supported differentiation scope), and this keeps ``jax.grad`` working
 over the loop.
+
+PERF ANALYSIS & the Pallas decision (round-2, v5e, Atrium 253k tris,
+512^2 camera wave = 262k rays; the north star asked for "BVH traversal as
+a Pallas kernel — build it or bound it"):
+
+* table-row gathers are BANDWIDTH-priced, not latency-priced: gathering
+  262k random rows of a [131k, 16] f32 table measures 0.091 ms =
+  ~176 GB/s (microbench in round-2 notes); wider rows are FASTER per
+  byte (0.11 ns/row at width 128). The node/leaf fetch stream therefore
+  already runs at the memory system's speed — a hand-written Pallas
+  kernel cannot fetch divergent nodes faster than XLA's gather, because
+  the TPU has no per-lane gather hardware to hand-tune; Mosaic lowers
+  divergent VMEM indexing to the same serialized machinery.
+* what WAS slow (round-1 design) is per-lane dynamic indexing of the
+  [N, S] traversal stack: ``stack[ar, sp]`` reads measure 3.2 ms and
+  ``.at[ar, sp].set`` writes 2.1 ms at 262k x 48 — 30x the node fetch.
+  The round-2 redesign eliminates most of them: the near child continues
+  in a register (``cur``), only far children of both-hit nodes touch the
+  stack, and the remaining push/pop use one-hot masked selects (0.8 ms).
+  Camera-wave closest hit: 1.00 s -> 0.61 s.
+* the residual bound is LOCKSTEP DIVERGENCE: p50=99 / p95=327 node steps
+  per ray; every while_loop round pays the full wave. The compaction
+  ladder (argsort live lanes, shrink 2x per level) recovers most of the
+  tail. A Pallas kernel would face the same divergence with the same
+  memory system, so the XLA formulation is kept — revisit only with an
+  algorithmic change (wider BVH arity or ray reordering), not a kernel
+  rewrite.
 """
 from __future__ import annotations
 
@@ -208,53 +235,76 @@ def build_scene_bvh(scene, leaf_size: int = 4):
 # device traversal
 # ---------------------------------------------------------------------------
 
-# node pops between dense leaf rounds, and deferred-leaf capacity per round
+# node steps fused per while_loop round (amortizes the round's bookkeeping)
 INNER_STEPS = 8
-PEND = 8
 # below this lane count the compaction ladder stops (compaction overhead
 # beats the lockstep saving only for large waves)
 LADDER_MIN = 16384
+# wave shrink factor per ladder level (2 measured ~8% faster than 4 on the
+# Atrium camera wave: more compactions, less lockstep tail)
+_LADDER_DIV = 2
 
 
 def _init_state(bvh: Bvh, o, d, tmin, tmax):
     n = o.shape[0]
-    stack = jnp.zeros((n, bvh.max_stack), jnp.int32)
-    stack = stack.at[:, 0].set(bvh.root_code)
     return dict(
         o=o, d=d, tmin=tmin,
-        stack=stack, sp=jnp.ones((n,), jnp.int32),
+        cur=jnp.full((n,), bvh.root_code, jnp.int32),
+        cur_ok=jnp.ones((n,), jnp.bool_),
+        stack=jnp.zeros((n, bvh.max_stack), jnp.int32),
+        sp=jnp.zeros((n,), jnp.int32),
         t_best=jnp.minimum(tmax, BIG),
         i_best=jnp.full((n,), -1, jnp.int32),
         u_best=jnp.zeros((n,)), v_best=jnp.zeros((n,)),
-        found=jnp.zeros((n,), jnp.bool_),
-        pend=jnp.zeros((n, PEND), jnp.int32),
-        pend_n=jnp.zeros((n,), jnp.int32))
+        found=jnp.zeros((n,), jnp.bool_))
 
 
 def _runnable(st, any_hit):
-    run = (st["sp"] > 0) | (st["pend_n"] > 0)
+    run = st["cur_ok"] | (st["sp"] > 0)
     if any_hit:
         run = run & ~st["found"]
     return run
 
 
+def _oh_read(stack, pos):
+    """stack[i, pos[i]] without a per-lane column gather: one-hot select.
+    Per-lane dynamic indexing along a minor axis lowers to serialized
+    gathers/scatters on TPU (measured 3.2 ms per read and 2.1 ms per write
+    at 262k x 48 on v5e vs 0.8 ms for the one-hot form)."""
+    S = stack.shape[1]
+    m = jnp.arange(S, dtype=pos.dtype)[None, :] == pos[:, None]
+    return jnp.sum(jnp.where(m, stack, 0), axis=1)
+
+
+def _oh_write(stack, pos, val, mask):
+    S = stack.shape[1]
+    m = ((jnp.arange(S, dtype=pos.dtype)[None, :] == pos[:, None])
+         & mask[:, None])
+    return jnp.where(m, val[:, None], stack)
+
+
 def _traverse_impl(bvh: Bvh, geom, o, d, tmin, tmax, any_hit: bool):
-    """Two-phase wavefront traversal with a compaction ladder.
+    """Wavefront traversal: register-top cursor + one-hot stack +
+    immediate leaf tests, under a compaction ladder.
 
-    Inner phase: INNER_STEPS masked stack pops per lane; leaf children are
-    DEFERRED into a small pending list (1 packed-row gather per pop — the
-    only random access). Leaf phase: all pending leaves of all lanes are
-    tested in one dense [N, PEND, L] Moller-Trumbore block fed by a single
-    leaf-row gather; t_best updates then prune the next inner phase.
-    This replaces a per-step leaf test that gathered [N, leaf_size] rows
-    of 3 arrays EVERY pop (~6 ns/row made that ~100x slower on v5e).
+    Design (v5e-measured costs drove every choice):
 
-    The while-loop is LOCKSTEP: every round pays full-wave gather rows
-    until the single slowest lane finishes (measured p50=99 / p95=327
-    node pops per ray on the Atrium), so once the unfinished count drops
-    below a quarter of the wave the live lanes are compacted into a 4x
-    smaller array and the loop continues there (recursively, down to
-    LADDER_MIN lanes).
+    * the NEAR child of an inner node continues in a per-lane register
+      (``cur``) instead of round-tripping through the stack — only the far
+      child of a both-hit node touches stack memory, so most steps do ZERO
+      stack operations;
+    * stack push/pop use one-hot masked selects (see _oh_read) — per-lane
+      dynamic indexing of a [N, S] array is the single most expensive op
+      family in a traversal round on TPU;
+    * leaf children are tested IMMEDIATELY as a dense [N, L]
+      Moller-Trumbore block fed by one packed leaf-row gather (~0.1 ms at
+      262k lanes) — table-row gathers are bandwidth-priced on TPU, not
+      latency-priced, so there is nothing to batch;
+    * the while-loop is LOCKSTEP: every round pays the full wave until the
+      slowest lane finishes (p50=99 / p95=327 node steps per camera ray on
+      the Atrium), so once the unfinished count drops below a quarter of
+      the wave the live lanes are compacted 4x and the loop continues
+      there (recursively, down to LADDER_MIN lanes).
     """
     st = _init_state(bvh, o, d, tmin, tmax)
     st = _solve(bvh, st, any_hit)
@@ -266,7 +316,7 @@ def _solve(bvh: Bvh, st, any_hit: bool):
     n = st["o"].shape[0]
     if n <= LADDER_MIN:
         return _run_until(bvh, st, any_hit, cap=0)
-    n_next = n // 4
+    n_next = n // _LADDER_DIV
     st = _run_until(bvh, st, any_hit, cap=n_next)
     run = _runnable(st, any_hit)
     sel = jnp.argsort(jnp.where(run, 0, 1))[:n_next]
@@ -290,120 +340,109 @@ def _run_until(bvh: Bvh, st, any_hit: bool, cap: int):
     def outer(st):
         o, d, tmin = st["o"], st["d"], st["tmin"]
         inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
-        (stack, sp, t_best, i_best, u_best, v_best, found, pend,
-         pend_n) = (st["stack"], st["sp"], st["t_best"], st["i_best"],
-                    st["u_best"], st["v_best"], st["found"], st["pend"],
-                    st["pend_n"])
 
-        # ---- inner phase: masked pops, defer leaves -------------------
-        def inner(_, st2):
-            stack, sp, pend, pend_n = st2
-            active = (sp > 0) & (pend_n < PEND)
+        def step(_, st2):
+            (cur, cur_ok, stack, sp, t_best, i_best, u_best, v_best,
+             found) = st2
             if any_hit:
-                active = active & ~found
-            top = jnp.maximum(sp - 1, 0)
-            code = stack[ar, top]
-            sp = jnp.where(active, top, sp)
-            is_leaf_c = code < 0
+                cur_ok = cur_ok & ~found
 
-            put = active & is_leaf_c
-            pend = pend.at[ar, jnp.where(put, pend_n, PEND)].set(
-                code, mode="drop")
-            pend_n = pend_n + put.astype(jnp.int32)
+            # refill the cursor from the stack where it ran dry
+            need = ~cur_ok & (sp > 0)
+            if any_hit:
+                need = need & ~found
+            top = _oh_read(stack, sp - 1)
+            cur = jnp.where(need, top, cur)
+            cur_ok = cur_ok | need
+            sp = sp - need.astype(jnp.int32)
 
-            nid = jnp.where(active & ~is_leaf_c, code, 0)
-            row = bvh.node_rows[nid]                       # [N,16]
-            t_cap = t_best
+            is_leaf_c = cur_ok & (cur < 0)
+
+            # ---- leaf: dense [N, L] Moller-Trumbore now ----------------
+            dec = -cur - 1
+            lrow = bvh.leaf_rows[jnp.where(is_leaf_c, jnp.minimum(
+                dec >> 5, n_leaves - 1), 0)]               # [N, W]
+            count = jnp.where(is_leaf_c, dec & 31, 0)
+            tri = lrow[:, :9 * L].reshape(n, L, 9)
+            occ_f = lrow[:, 9 * L:9 * L + L]
+            first = lrow[:, 9 * L + L].astype(jnp.int32)
+            ks = jnp.arange(L)
+            cand = ks[None, :] < count[:, None]
+            if any_hit:
+                cand = cand & (occ_f > 0.5)
+            ob = o[:, None, :]
+            db = d[:, None, :]
+            v0 = tri[..., 0:3]
+            e1 = tri[..., 3:6]
+            e2 = tri[..., 6:9]
+            pvec = jnp.cross(db, e2)
+            det = jnp.sum(e1 * pvec, axis=-1)
+            inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+            tvec = ob - v0
+            u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+            qvec = jnp.cross(tvec, e1)
+            v = jnp.sum(db * qvec, axis=-1) * inv_det
+            t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+            ok = (cand & (jnp.abs(det) > 1e-12) & (u >= 0) & (v >= 0)
+                  & (u + v <= 1.0) & (t > tmin[:, None])
+                  & (t < t_best[:, None]))
+            t = jnp.where(ok, t, BIG)
+            if any_hit:
+                found = found | jnp.any(t < BIG, axis=1)
+            else:
+                j = jnp.argmin(t, axis=1)
+                tj = t[ar, j]
+                better = tj < t_best
+                t_best = jnp.where(better, tj, t_best)
+                i_best = jnp.where(better, first + j, i_best)
+                u_best = jnp.where(better, u[ar, j], u_best)
+                v_best = jnp.where(better, v[ar, j], v_best)
+                found = found | better
+
+            # ---- inner: slab both children from the packed row ---------
+            is_inner = cur_ok & (cur >= 0)
+            row = bvh.node_rows[jnp.where(is_inner, cur, 0)]   # [N,16]
 
             def slab(bmin, bmax):
                 t0 = (bmin - o) * inv_d
                 t1 = (bmax - o) * inv_d
                 tn = jnp.maximum(jnp.max(jnp.minimum(t0, t1), -1), tmin)
-                tf = jnp.minimum(jnp.min(jnp.maximum(t0, t1), -1), t_cap)
+                tf = jnp.minimum(jnp.min(jnp.maximum(t0, t1), -1), t_best)
                 return tn, tn <= tf
 
             tn_l, hit_l = slab(row[:, 0:3], row[:, 3:6])
             tn_r, hit_r = slab(row[:, 6:9], row[:, 9:12])
             a_code = jax.lax.bitcast_convert_type(row[:, 12], jnp.int32)
             b_code = jax.lax.bitcast_convert_type(row[:, 13], jnp.int32)
-            is_inner = active & ~is_leaf_c
             hit_l = hit_l & is_inner
             hit_r = hit_r & is_inner
 
             near_is_left = tn_l <= tn_r
-            c1 = jnp.where(near_is_left, b_code, a_code)  # far first
-            ok1 = jnp.where(near_is_left, hit_r, hit_l)
-            c2 = jnp.where(near_is_left, a_code, b_code)  # near last
-            ok2 = jnp.where(near_is_left, hit_l, hit_r)
+            near = jnp.where(near_is_left, a_code, b_code)
+            far = jnp.where(near_is_left, b_code, a_code)
+            near_hit = jnp.where(near_is_left, hit_l, hit_r)
+            far_hit = jnp.where(near_is_left, hit_r, hit_l)
 
-            push1 = ok1 & (sp < S)
-            stack = stack.at[ar, jnp.where(push1, sp, S)].set(
-                c1, mode="drop")
-            sp = sp + push1.astype(jnp.int32)
-            push2 = ok2 & (sp < S)
-            stack = stack.at[ar, jnp.where(push2, sp, S)].set(
-                c2, mode="drop")
-            sp = sp + push2.astype(jnp.int32)
-            return stack, sp, pend, pend_n
+            # both hit: far -> stack, near -> cursor. One hit: cursor.
+            push = near_hit & far_hit & (sp < S)
+            stack = _oh_write(stack, sp, far, push)
+            sp = sp + push.astype(jnp.int32)
+            go = jnp.where(near_hit, near, far)
+            cur = jnp.where(is_inner, go, cur)
+            cur_ok = jnp.where(is_inner, near_hit | far_hit,
+                               cur_ok & ~is_leaf_c)
+            return (cur, cur_ok, stack, sp, t_best, i_best, u_best,
+                    v_best, found)
 
-        stack, sp, pend, pend_n = jax.lax.fori_loop(
-            0, INNER_STEPS, inner, (stack, sp, pend, pend_n))
-
-        # ---- leaf phase: one dense block over all pending leaves ------
-        slot_live = (jnp.arange(PEND)[None, :] < pend_n[:, None])
-        dec = -pend - 1
-        rows = jnp.where(slot_live, dec >> 5, 0)
-        counts = jnp.where(slot_live, dec & 31, 0)
-        block = bvh.leaf_rows[jnp.clip(rows, 0, n_leaves - 1)]  # [N,P,W]
-        tri = block[:, :, :9 * L].reshape(n, PEND, L, 9)
-        occ_f = block[:, :, 9 * L:9 * L + L]                    # [N,P,L]
-        firsts = block[:, :, 9 * L + L].astype(jnp.int32)       # [N,P]
-
-        ks = jnp.arange(L)
-        cand_ok = slot_live[..., None] & (ks[None, None, :]
-                                          < counts[..., None])
-        if any_hit:
-            cand_ok = cand_ok & (occ_f > 0.5)
-
-        ob = o[:, None, None, :]
-        db = d[:, None, None, :]
-        v0 = tri[..., 0:3]
-        e1 = tri[..., 3:6]
-        e2 = tri[..., 6:9]
-        pvec = jnp.cross(db, e2)
-        det = jnp.sum(e1 * pvec, axis=-1)
-        inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-        tvec = ob - v0
-        u = jnp.sum(tvec * pvec, axis=-1) * inv_det
-        qvec = jnp.cross(tvec, e1)
-        v = jnp.sum(db * qvec, axis=-1) * inv_det
-        t = jnp.sum(e2 * qvec, axis=-1) * inv_det
-        ok = (cand_ok & (jnp.abs(det) > 1e-12) & (u >= 0) & (v >= 0)
-              & (u + v <= 1.0) & (t > tmin[:, None, None])
-              & (t < t_best[:, None, None]))
-        t = jnp.where(ok, t, BIG).reshape(n, PEND * L)
-
-        if any_hit:
-            found = found | jnp.any(t < BIG, axis=1)
-        else:
-            prim = (firsts[..., None] + ks[None, None, :]).reshape(
-                n, PEND * L)
-            j = jnp.argmin(t, axis=1)
-            tj = t[ar, j]
-            better = tj < t_best
-            t_best = jnp.where(better, tj, t_best)
-            i_best = jnp.where(better, prim[ar, j], i_best)
-            uf = u.reshape(n, PEND * L)
-            vf = v.reshape(n, PEND * L)
-            u_best = jnp.where(better, uf[ar, j], u_best)
-            v_best = jnp.where(better, vf[ar, j], v_best)
-            found = found | better
-
-        pend = jnp.zeros_like(pend)
-        pend_n = jnp.zeros_like(pend_n)
-        return dict(o=o, d=d, tmin=tmin, stack=stack, sp=sp, t_best=t_best,
-                    i_best=i_best, u_best=u_best, v_best=v_best,
-                    found=found, pend=pend, pend_n=pend_n)
+        out = jax.lax.fori_loop(
+            0, INNER_STEPS, step,
+            (st["cur"], st["cur_ok"], st["stack"], st["sp"], st["t_best"],
+             st["i_best"], st["u_best"], st["v_best"], st["found"]))
+        (cur, cur_ok, stack, sp, t_best, i_best, u_best, v_best,
+         found) = out
+        return dict(o=o, d=d, tmin=tmin, cur=cur, cur_ok=cur_ok,
+                    stack=stack, sp=sp, t_best=t_best, i_best=i_best,
+                    u_best=u_best, v_best=v_best, found=found)
 
     return jax.lax.while_loop(outer_cond, outer, st)
 

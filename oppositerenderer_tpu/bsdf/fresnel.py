@@ -25,8 +25,14 @@ def fresnel_dielectric(cos_i: Array, eta_i: Array, eta_t: Array) -> Array:
     tir = sin_t >= 1.0
     aci = jnp.abs(cos_i)
     cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_t * sin_t))
-    r_parl = (et * aci - ei * cos_t) / (et * aci + ei * cos_t)
-    r_perp = (ei * aci - et * cos_t) / (ei * aci + et * cos_t)
+    # floored denominators: masked non-dielectric lanes can carry ior=0
+    # (ei=et=0 -> 0/0 NaN) and grazing+TIR-boundary lanes hit 0/0; a NaN
+    # here — even discarded by fresnel()'s where — trips the checkify NaN
+    # pass and poisons reverse-mode gradients (0 * NaN)
+    r_parl = (et * aci - ei * cos_t) / jnp.maximum(
+        et * aci + ei * cos_t, 1e-20)
+    r_perp = (ei * aci - et * cos_t) / jnp.maximum(
+        ei * aci + et * cos_t, 1e-20)
     r = 0.5 * (r_parl * r_parl + r_perp * r_perp)
     return jnp.where(tir, 1.0, r)
 

@@ -103,10 +103,13 @@ def cone_pdf_w(theta_rad: Array) -> Array:
     return 1.0 / (2.0 * PI * (1.0 - jnp.cos(theta_rad)))
 
 
-# pdf measure conversions (samplers.h:160-171)
+# pdf measure conversions (samplers.h:160-171). Denominators are floored:
+# masked lanes routinely carry dist=0 / cos=0 and a 0/0 NaN — even one that
+# is discarded by a later where() — poisons reverse-mode gradients
+# (0 * NaN) and trips the checkify NaN pass (debug.check_iteration).
 def pdf_w_to_a(pdf_w: Array, dist: Array, cos_there: Array) -> Array:
-    return pdf_w * jnp.abs(cos_there) / jnp.square(dist)
+    return pdf_w * jnp.abs(cos_there) / jnp.maximum(jnp.square(dist), 1e-30)
 
 
 def pdf_a_to_w(pdf_a: Array, dist: Array, cos_there: Array) -> Array:
-    return pdf_a * jnp.square(dist) / jnp.abs(cos_there)
+    return pdf_a * jnp.square(dist) / jnp.maximum(jnp.abs(cos_there), 1e-20)

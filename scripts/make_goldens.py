@@ -11,14 +11,17 @@ which is exactly what makes them good goldens).
 Run on the CPU backend so goldens are platform-stable:
     JAX_PLATFORMS=cpu python scripts/make_goldens.py
 """
-import os
 import sys
 from pathlib import Path
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
+
+# in-process override is the only reliable one: the axon sitecustomize pins
+# JAX_PLATFORMS=axon over anything set in the environment
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 
