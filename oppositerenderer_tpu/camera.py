@@ -161,3 +161,36 @@ class Camera:
         d = self.lookdir * scale
         return Camera.make(self.eye + d, self.lookat, self.up, self.hfov,
                            self.vfov, float(self.aperture))
+
+    def orbit(self, dtheta: float, dphi: float) -> "Camera":
+        """Rotate the eye around the lookat point — the Mouse 'rotate'
+        interaction (util/Mouse.cpp:316-380). ``dtheta`` spins about the up
+        axis, ``dphi`` tilts toward/away from it (radians); the polar angle
+        is clamped away from the poles so the frame stays well-defined."""
+        import numpy as np
+        eye = np.asarray(self.eye, np.float64)
+        at = np.asarray(self.lookat, np.float64)
+        up = np.asarray(self.up, np.float64)
+        rel = eye - at
+        r = float(np.linalg.norm(rel))
+        # spherical coords about `up`
+        y = float(rel @ up)
+        planar = rel - y * up
+        p = float(np.linalg.norm(planar))
+        if p < 1e-9 * max(r, 1e-9):
+            e1 = np.array([1.0, 0.0, 0.0])
+            e1 -= (e1 @ up) * up
+            planar = e1 / np.linalg.norm(e1) * 1e-6
+            p = float(np.linalg.norm(planar))
+        u_hat = planar / p
+        w_hat = np.cross(up, u_hat)
+        theta = pymath.atan2(float(rel @ w_hat), p)
+        phi = pymath.atan2(y, p)
+        theta += dtheta
+        phi = min(max(phi + dphi, -1.55), 1.55)
+        new_rel = r * (pymath.cos(phi)
+                       * (pymath.cos(theta) * u_hat
+                          + pymath.sin(theta) * w_hat)
+                       + pymath.sin(phi) * up)
+        return Camera.make(at + new_rel, at, tuple(up), self.hfov,
+                           self.vfov, float(self.aperture))

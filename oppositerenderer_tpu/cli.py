@@ -73,6 +73,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pan", type=float, nargs=2, default=None,
                    help="pan in image plane (u, v)")
     p.add_argument("--quiet", "-q", action="store_true")
+    p.add_argument("--serve", type=int, default=None, metavar="PORT",
+                   help="serve a live progressive viewer on this port "
+                        "instead of batch rendering (the Gui analog: image, "
+                        "stats, settings, camera pad)")
     return p
 
 
@@ -132,6 +136,13 @@ def main(argv=None) -> int:
         camera = camera.dolly(args.dolly)
     if args.pan:
         camera = camera.translate(*args.pan)
+
+    if args.serve is not None:
+        from .viewer import serve
+        serve(scene, camera, cfg, port=args.serve, seed=args.seed,
+              preview_every=max(1, args.preview_every),
+              ppm_initial_radius=args.ppm_radius)
+        return 0
 
     r = Renderer(scene, camera, cfg, seed=args.seed,
                  ppm_initial_radius=args.ppm_radius)

@@ -198,6 +198,25 @@ class MultiHostRenderer:
         self.stats["iterations"] += len(iterations)
         self.stats["render_seconds"] += time.perf_counter() - t0
 
+    def reset(self) -> None:
+        """Drop accumulated work (sequence-bump analog / post-warmup)."""
+        self._accum = None
+        self._count = 0
+        self.stats = {"packets": 0, "iterations": 0, "render_seconds": 0.0}
+
+    def warmup(self) -> None:
+        """Compile + execute the exact paths :meth:`run` uses — the fused
+        multi-iteration dispatch (traced n/stride: one compile serves every
+        count) and the cross-process film merge — then reset, so a timed
+        ``run`` measures render throughput, not XLA compiles. The reference
+        similarly excludes its 60 s OptiX JIT from render timing
+        (README.md:78)."""
+        self.render_iterations(tuple(range(self.process_index,
+                                           self.process_count * 2,
+                                           self.process_count)))
+        np.asarray(self.merged_film().accum)
+        self.reset()
+
     def local_film(self) -> Film:
         import jax.numpy as jnp
         accum = self._accum if self._accum is not None else jnp.zeros(

@@ -130,20 +130,22 @@ class Renderer:
             self._compiled[cache_key] = jax.jit(self._raw_step())
         return self._compiled[cache_key]
 
-    def _multi_step_fn(self, n: int, stride: int = 1):
+    def _multi_step_fn(self):
         """Jitted fused step rendering ``n`` iterations
         ``start, start+stride, ...`` in ONE dispatch:
-        (camera, start_iteration, key) -> (radiance_sum, stats).
+        (camera, start_iteration, key, n, stride) -> (radiance_sum, stats).
 
-        ``stride`` covers both host-loop chunks (stride 1) and the
-        distributed SPMD assignment where worker w renders w, w+P, ...
-        in one fused dispatch. The per-iteration PPM radius is computed
-        on-device from the pure Knaus-Zwicker schedule
-        (ppm_radius_sq_traced), matching the host-side schedule every other
-        path uses — the same property that makes the reference's
-        multi-iteration packets mergeable
+        ``n`` and ``stride`` are TRACED operands (the fori_loop lowers to a
+        while_loop), so one compile serves every iteration count and the
+        distributed SPMD assignment where worker w renders w, w+P, ... —
+        warming any call warms them all, which is what lets the
+        multi-process scaling bench exclude compiles honestly. The
+        per-iteration PPM radius is computed on-device from the pure
+        Knaus-Zwicker schedule (ppm_radius_sq_traced), matching the
+        host-side schedule every other path uses — the same property that
+        makes the reference's multi-iteration packets mergeable
         (DistributedApplication.cpp:101-113)."""
-        cache_key = ("multi", n, stride, self.cfg)
+        cache_key = ("multi", self.cfg)
         if cache_key in self._compiled:
             return self._compiled[cache_key]
         step = self._raw_step()
@@ -151,7 +153,7 @@ class Renderer:
         r0 = self.ppm_initial_radius
         alpha = self.cfg.ppm_alpha
 
-        def fused(camera, start_iteration, key):
+        def fused(camera, start_iteration, key, n, stride):
             def body(k, carry):
                 acc, stats_acc = carry
                 it = start_iteration + k * stride
@@ -169,8 +171,7 @@ class Renderer:
             # peel iteration 0 to learn the stats structure, loop the rest
             acc, stats0 = body(jnp.int32(0),
                                (jnp.zeros((H, W, 3), jnp.float32), None))
-            if n > 1:
-                acc, stats0 = jax.lax.fori_loop(1, n, body, (acc, stats0))
+            acc, stats0 = jax.lax.fori_loop(1, n, body, (acc, stats0))
             return acc, stats0
 
         fn = jax.jit(fused)
@@ -191,8 +192,9 @@ class Renderer:
     def compute_iterations(self, start: int, n: int, stride: int = 1):
         """Fused radiance SUM + summed stats over iterations
         ``start, start+stride, ..., start+(n-1)*stride`` — one dispatch."""
-        return self._multi_step_fn(n, stride)(self.camera, jnp.int32(start),
-                                              self.root_key)
+        return self._multi_step_fn()(self.camera, jnp.int32(start),
+                                     self.root_key, jnp.int32(n),
+                                     jnp.int32(stride))
 
     def render_next_iteration(self) -> dict[str, Any]:
         """Render one iteration into the film; returns metrics
@@ -229,8 +231,9 @@ class Renderer:
                 done += 1
                 continue
             t0 = time.perf_counter()
-            rad_sum, stats = self._multi_step_fn(n)(
-                self.camera, jnp.int32(self.iteration), self.root_key)
+            rad_sum, stats = self._multi_step_fn()(
+                self.camera, jnp.int32(self.iteration), self.root_key,
+                jnp.int32(n), jnp.int32(1))
             self.film = self.film.add_iterations(rad_sum, n)
             self.film.accum.block_until_ready()
             dt = time.perf_counter() - t0

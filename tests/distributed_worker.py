@@ -42,22 +42,32 @@ def main():
                        photon_grid_resolution=16,
                        gather_photon_budget=64)
     mhr = MultiHostRenderer(scene, cam, cfg, seed=5)
-    # compile outside the timed region (the reference also excludes its
-    # 60 s OptiX JIT from render timing), then barrier so the timed window
-    # starts simultaneously on every worker (compile skew otherwise counts
+    # compile + execute the exact run() paths (fused dispatch + DCN merge)
+    # outside the timed region (the reference also excludes its 60 s OptiX
+    # JIT from render timing), then barrier so the timed window starts
+    # simultaneously on every worker (compile skew otherwise counts
     # against the slowest starter)
-    mhr._renderer.compute_iteration(0)[0].block_until_ready()
+    mhr.warmup()
     if nproc > 1:
         from jax.experimental import multihost_utils
         multihost_utils.sync_global_devices("bench_start")
     t0 = time.perf_counter()
-    film = mhr.run(iters)
+    mine = tuple(range(pid, iters, nproc))
+    mhr.render_iterations(mine)
+    # materialize before splitting the clock: JAX dispatch is async, and
+    # the local film is otherwise lazy (the multi-process merge blocks —
+    # timing them differently would make the scaling number meaningless)
+    mhr.local_film().accum.block_until_ready()
+    render_dt = time.perf_counter() - t0
+    film = mhr.merged_film()
+    accum_host = np.asarray(film.accum)
     dt = time.perf_counter() - t0
+    merge_dt = dt - render_dt
     if pid == 0:
-        np.savez(out, accum=np.asarray(film.accum),
+        np.savez(out, accum=accum_host,
                  iterations=int(film.iterations), seconds=dt,
                  nproc=nproc, local_iterations=mhr.stats["iterations"],
-                 render_seconds=mhr.stats["render_seconds"])
+                 render_seconds=render_dt, merge_seconds=merge_dt)
 
 
 if __name__ == "__main__":
