@@ -34,20 +34,28 @@ class Camera:
     @classmethod
     def make(cls, eye, lookat, up=(0.0, 1.0, 0.0), hfov: float = 60.0,
              vfov: float = 60.0, aperture: float = 0.0) -> "Camera":
-        """Camera::setup (Camera.cpp:333-345)."""
-        eye = jnp.asarray(eye, jnp.float32)
-        lookat = jnp.asarray(lookat, jnp.float32)
-        up = normalize(jnp.asarray(up, jnp.float32))
+        """Camera::setup (Camera.cpp:333-345).
+
+        Host-side construction in NumPy on purpose: this runs at
+        scene-load / interaction time, where jnp would compile + dispatch
+        a dozen tiny ops through the device tunnel per call."""
+        import numpy as np
+        eye = np.asarray(eye, np.float64)
+        lookat = np.asarray(lookat, np.float64)
+        up = np.asarray(up, np.float64)
+        up = up / max(np.linalg.norm(up), 1e-20)
         lookdir = lookat - eye
-        lookdir_len = length(lookdir)
-        cu = normalize(cross(lookdir, up))
-        cv = normalize(cross(cu, lookdir))
+        lookdir_len = float(np.linalg.norm(lookdir))
+        cu = np.cross(lookdir, up)
+        cu /= max(np.linalg.norm(cu), 1e-20)
+        cv = np.cross(cu, lookdir)
+        cv /= max(np.linalg.norm(cv), 1e-20)
         ulen = lookdir_len * pymath.tan(pymath.radians(hfov * 0.5))
         vlen = lookdir_len * pymath.tan(pymath.radians(vfov * 0.5))
-        return cls(eye=eye, lookdir=lookdir, up=up, camera_u=cu * ulen,
-                   camera_v=cv * vlen, aperture=jnp.asarray(aperture,
-                                                            jnp.float32),
-                   hfov=hfov, vfov=vfov)
+        f32 = lambda a: jnp.asarray(np.asarray(a, np.float32))
+        return cls(eye=f32(eye), lookdir=f32(lookdir), up=f32(up),
+                   camera_u=f32(cu * ulen), camera_v=f32(cv * vlen),
+                   aperture=f32(aperture), hfov=hfov, vfov=vfov)
 
     @property
     def image_plane_size(self) -> Array:

@@ -136,6 +136,14 @@ class RenderConfig:
     # per-dispatch latency through the runtime (~20 ms over a tunneled
     # link) is paid once per chunk instead of once per iteration.
     iterations_per_dispatch: int = 8
+    # pipeline overlap: queue every fused chunk without blocking between
+    # them, letting the host enqueue chunk k+1 while the device computes
+    # chunk k (the reference hides latency with <=30 pending iterations
+    # per server + 4-iteration packets, RenderServerConnection.cpp:37-48;
+    # XLA's async dispatch gives the same overlap for free once we stop
+    # synchronizing per chunk). Off by default only so per-chunk metrics
+    # stay exact wall times.
+    async_dispatch: bool = False
 
     # --- reference parity mode ---
     # Bundle the documented physics deviations back to the reference's

@@ -56,26 +56,35 @@ class LightTable:
 
 
 def make_area_light(power, anchor, v1, v2) -> dict:
-    """Light::Light(power, position, v1, v2) — Light.cpp:14-29."""
-    power = jnp.asarray(power, jnp.float32)
-    v1 = jnp.asarray(v1, jnp.float32)
-    v2 = jnp.asarray(v2, jnp.float32)
-    c = cross(v1, v2)
-    area = length(c)
+    """Light::Light(power, position, v1, v2) — Light.cpp:14-29.
+
+    NumPy on purpose: light construction is host-side scene building; jnp
+    here would compile + dispatch tiny ops per light through the (slow)
+    device tunnel at scene-load time."""
+    import numpy as np
+    power = np.asarray(power, np.float32)
+    v1 = np.asarray(v1, np.float32)
+    v2 = np.asarray(v2, np.float32)
+    c = np.cross(v1, v2)
+    area = np.float32(np.linalg.norm(c))
     return dict(kind=AREA, power=power,
-                position=jnp.asarray(anchor, jnp.float32), v1=v1, v2=v2,
-                normal=normalize(c), inverse_area=1.0 / area,
-                emission=power / (area * PI), angle=0.0,
-                is_delta=False, is_finite=True)
+                position=np.asarray(anchor, np.float32), v1=v1, v2=v2,
+                normal=(c / max(area, np.float32(1e-20))).astype(np.float32),
+                inverse_area=np.float32(1.0 / area),
+                emission=(power / (area * PI)).astype(np.float32),
+                angle=0.0, is_delta=False, is_finite=True)
 
 
 def make_point_light(power, position) -> dict:
     """Light::Light(power, position) — Light.cpp:31-40."""
-    power = jnp.asarray(power, jnp.float32)
+    import numpy as np
+    power = np.asarray(power, np.float32)
+    z = np.zeros(3, np.float32)
     return dict(kind=POINT, power=power,
-                position=jnp.asarray(position, jnp.float32),
-                v1=jnp.zeros(3), v2=jnp.zeros(3), normal=jnp.zeros(3),
-                inverse_area=0.0, emission=power * (0.25 * INV_PI),
+                position=np.asarray(position, np.float32),
+                v1=z, v2=z, normal=z,
+                inverse_area=0.0,
+                emission=(power * (0.25 * INV_PI)).astype(np.float32),
                 angle=0.0, is_delta=True, is_finite=True)
 
 
@@ -83,26 +92,34 @@ def make_spot_light(power, position, direction, angle_deg) -> dict:
     """Light::Light(power, position, direction, angle) — Light.cpp:42-51.
     The reference's angleFactor converts degrees with 180/pi (a bug); we use
     the PBRT p.614 form 1/(2pi(1-cos theta))."""
-    power = jnp.asarray(power, jnp.float32)
-    angle = jnp.deg2rad(jnp.asarray(angle_deg, jnp.float32))
-    solid = 2.0 * PI * (1.0 - jnp.cos(angle))
+    import numpy as np
+    power = np.asarray(power, np.float32)
+    angle = np.float32(np.deg2rad(angle_deg))
+    solid = np.float32(2.0 * PI * (1.0 - np.cos(angle)))
+    d = np.asarray(direction, np.float32)
+    z = np.zeros(3, np.float32)
     return dict(kind=SPOT, power=power,
-                position=jnp.asarray(position, jnp.float32),
-                v1=jnp.zeros(3), v2=jnp.zeros(3),
-                normal=normalize(jnp.asarray(direction, jnp.float32)),
-                inverse_area=0.0, emission=power / solid, angle=angle,
+                position=np.asarray(position, np.float32),
+                v1=z, v2=z,
+                normal=(d / max(np.linalg.norm(d), 1e-20)).astype(
+                    np.float32),
+                inverse_area=0.0,
+                emission=(power / solid).astype(np.float32), angle=angle,
                 is_delta=True, is_finite=True)
 
 
 def build_light_table(light_dicts: list[dict]) -> LightTable:
+    import numpy as np
     fields = {}
     for name in ("kind", "power", "position", "v1", "v2", "normal",
                  "inverse_area", "emission", "angle", "is_delta",
                  "is_finite"):
-        vals = [jnp.asarray(d[name]) for d in light_dicts]
-        fields[name] = jnp.stack(vals).astype(
-            jnp.int32 if name == "kind"
-            else jnp.bool_ if name.startswith("is_") else jnp.float32)
+        # stack on host (numpy): one device transfer per field, zero
+        # compiles at scene-build time
+        vals = np.stack([np.asarray(d[name]) for d in light_dicts]).astype(
+            np.int32 if name == "kind"
+            else np.bool_ if name.startswith("is_") else np.float32)
+        fields[name] = jnp.asarray(vals)
     return LightTable(**fields)
 
 

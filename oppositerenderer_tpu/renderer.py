@@ -221,12 +221,22 @@ class Renderer:
 
     def render(self, iterations: int) -> Film:
         """Render ``iterations`` iterations, fusing up to
-        ``cfg.iterations_per_dispatch`` per device dispatch."""
+        ``cfg.iterations_per_dispatch`` per device dispatch.
+
+        With ``cfg.async_dispatch`` the host does NOT synchronize between
+        chunks: every dispatch is queued immediately (XLA executes them in
+        order), so host-side dispatch latency for chunk k+1 overlaps chunk
+        k's device compute — the TPU analog of the reference's pipelined
+        request window (RenderServerConnection.cpp:37-48). One block at
+        the end materializes the film; per-chunk metrics then report
+        dispatch time, not device time."""
         chunk = max(1, self.cfg.iterations_per_dispatch)
+        sync = not self.cfg.async_dispatch
+        t_all = time.perf_counter()
         done = 0
         while done < iterations:
             n = min(chunk, iterations - done)
-            if n == 1:
+            if n == 1 and sync:
                 self.render_next_iteration()
                 done += 1
                 continue
@@ -235,7 +245,8 @@ class Renderer:
                 self.camera, jnp.int32(self.iteration), self.root_key,
                 jnp.int32(n), jnp.int32(1))
             self.film = self.film.add_iterations(rad_sum, n)
-            self.film.accum.block_until_ready()
+            if sync:
+                self.film.accum.block_until_ready()
             dt = time.perf_counter() - t0
             self.iteration += n
             done += n
@@ -245,8 +256,17 @@ class Renderer:
                 ppm_radius=ppm_radius_sq_at_iteration(
                     self.ppm_initial_radius, self.cfg.ppm_alpha,
                     self.iteration - 1) ** 0.5,
-                **{k: float(v) for k, v in stats.items()},
+                # float() would synchronize — keep stats lazy when async
+                **(dict(stats) if not sync else
+                   {k: float(v) for k, v in stats.items()}),
             )
+        if not sync:
+            self.film.accum.block_until_ready()
+            self.metrics["iteration_seconds"] = (
+                (time.perf_counter() - t_all) / max(1, iterations))
+            self.metrics = {k: (float(v) if hasattr(v, "block_until_ready")
+                                else v)
+                            for k, v in self.metrics.items()}
         return self.film
 
     # ------------------------------------------------------------------

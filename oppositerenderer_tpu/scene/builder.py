@@ -146,6 +146,34 @@ class SceneBuilder:
                                uv0=uv0, uv1=uv1, uv2=uv2, mat=mat))
         self._grow_aabb(vertices[np.unique(faces)])
 
+    def add_triangle_soup(self, tris, material, normals=None, uvs=None):
+        """Bulk triangle soup [T,3,3] (+ per-vertex normals [T,3,3], uvs
+        [T,3,2], per-tri or scalar material) — the vectorized path the
+        Collada importer uses per <triangles> primitive so Sponza-class
+        meshes never enter a per-face Python loop."""
+        tris = np.asarray(tris, np.float32)
+        if tris.size == 0:
+            return
+        v0, v1, v2 = tris[:, 0], tris[:, 1], tris[:, 2]
+        if normals is None:
+            ng = np.cross(v1 - v0, v2 - v0)
+            ng /= np.maximum(np.linalg.norm(ng, axis=1, keepdims=True),
+                             1e-20)
+            n0 = n1 = n2 = ng
+        else:
+            normals = np.asarray(normals, np.float32)
+            n0, n1, n2 = normals[:, 0], normals[:, 1], normals[:, 2]
+        if uvs is None:
+            uv0 = uv1 = uv2 = np.zeros((tris.shape[0], 2), np.float32)
+        else:
+            uvs = np.asarray(uvs, np.float32)
+            uv0, uv1, uv2 = uvs[:, 0], uvs[:, 1], uvs[:, 2]
+        mat = np.broadcast_to(np.asarray(material, np.int32),
+                              (tris.shape[0],)).copy()
+        self._bulk.append(dict(v0=v0, v1=v1, v2=v2, n0=n0, n1=n1, n2=n2,
+                               uv0=uv0, uv1=uv1, uv2=uv2, mat=mat))
+        self._grow_aabb(tris.reshape(-1, 3))
+
     @property
     def n_triangles(self) -> int:
         return (len(self._tris)

@@ -375,14 +375,9 @@ def load_collada(path: str | Path) -> tuple[Scene, Camera]:
                 # smooth-normal generation when the file authors none
                 # (reference: aiProcess_GenSmoothNormals, Scene.cpp:96-108)
                 nrm = generate_smooth_normals(tris).reshape(-1, 3)
-            for f in range(tris.shape[0]):
-                nn = nrm.reshape(-1, 3, 3)[f]
-                kw = dict(n0=nn[0], n1=nn[1], n2=nn[2])
-                if uv is not None:
-                    uu = uv.reshape(-1, 3, 2)[f]
-                    kw.update(uv0=uu[0], uv1=uu[1], uv2=uu[2])
-                b.add_triangle(tris[f, 0], tris[f, 1], tris[f, 2], midx,
-                               **kw)
+            b.add_triangle_soup(tris, midx, normals=nrm.reshape(-1, 3, 3),
+                                uvs=(uv.reshape(-1, 3, 2)
+                                     if uv is not None else None))
 
     for vs in find_all(root, "visual_scene"):
         for node in vs:

@@ -20,10 +20,12 @@ Usage: python scripts/milestone4.py [--iters 16] [--size 1024] [--detail 0.25]
 """
 import argparse
 import json
+import sys
 import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
 
 
 def ensure_asset(detail: float) -> Path:

@@ -108,6 +108,23 @@ def test_renderer_loop_and_restart():
     assert int(r.film.iterations) == 0 and r.iteration == 0
 
 
+def test_async_dispatch_matches_sync():
+    """Pipeline overlap (cfg.async_dispatch): identical dispatches, no
+    per-chunk synchronization -> bit-identical film."""
+    scene, cam = make_cornell_small()
+    r_sync = Renderer(scene, cam,
+                      small_cfg(16, 16, iterations_per_dispatch=3), seed=7)
+    r_async = Renderer(scene, cam,
+                       small_cfg(16, 16, iterations_per_dispatch=3,
+                                 async_dispatch=True), seed=7)
+    f1 = r_sync.render(7)
+    f2 = r_async.render(7)
+    assert int(f2.iterations) == 7
+    np.testing.assert_array_equal(np.asarray(f1.accum),
+                                  np.asarray(f2.accum))
+    assert np.isfinite(r_async.metrics["iteration_seconds"])
+
+
 def test_renderer_checkpoint_roundtrip(tmp_path):
     scene, cam = make_cornell_small()
     r = Renderer(scene, cam, small_cfg(16, 16), seed=3)
