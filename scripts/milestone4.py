@@ -78,8 +78,12 @@ def main():
               "resolution": f"{args.size}x{args.size}",
               "device": str(jax.devices()[0]), "load_seconds": round(load_s, 2)}
     for name in args.methods.split(","):
+        # small fused chunks: a 1024^2 BVH iteration is tens of seconds of
+        # device time, and the tunneled runtime kills multi-minute single
+        # dispatches (UNAVAILABLE) — so cap each dispatch at 2 iterations
         cfg = RenderConfig(width=args.size, height=args.size,
-                           render_method=methods[name])
+                           render_method=methods[name],
+                           iterations_per_dispatch=2)
         r = Renderer(scene, camera, cfg, seed=0)
         t0 = time.perf_counter()
         r.render(1)
@@ -95,7 +99,10 @@ def main():
                             1, args.iters - 1), 3),
                         "artifact": str(out.relative_to(REPO))}
         print(f"{name}: {report[name]}")
-    (art / "milestone4.json").write_text(json.dumps(report, indent=2) + "\n")
+        # write after every method: a device fault in a later method must
+        # not lose the finished ones
+        (art / "milestone4.json").write_text(
+            json.dumps(report, indent=2) + "\n")
     print(json.dumps(report))
 
 
