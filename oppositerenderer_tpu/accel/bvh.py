@@ -194,6 +194,20 @@ def _pack_bvh(nmn, nmx, na, nb, tri9_perm, occluder, leaf_size):
     return node_rows, leaf_rows, int(codes[0])
 
 
+def _tree_depth(na: np.ndarray, nb: np.ndarray) -> int:
+    """Max root->leaf depth (#inner levels) of the flattened tree."""
+    depth = 0
+    stack = [(0, 1)]
+    while stack:
+        node, d = stack.pop()
+        if na[node] < 0:
+            depth = max(depth, d)
+        else:
+            stack.append((int(na[node]), d + 1))
+            stack.append((int(nb[node]), d + 1))
+    return depth
+
+
 def build_scene_bvh(scene, leaf_size: int = 4):
     """Returns (scene-with-permuted-triangles, Bvh). Spheres stay dense
     (their count is tiny in every reference scene). Default leaf_size 4:
@@ -225,9 +239,17 @@ def build_scene_bvh(scene, leaf_size: int = 4):
         np.asarray(bvh.nodes_min), np.asarray(bvh.nodes_max),
         np.asarray(bvh.nodes_a), np.asarray(bvh.nodes_b),
         tri9, (~is_em).astype(np.float32), leaf_size)
+    # size the traversal stack to the ACTUAL tree depth: the register-cursor
+    # design only ever pushes the far child of a both-hit node, so pending
+    # entries never exceed the root->leaf depth. Every stack op is a masked
+    # one-hot select over [N, S] (HBM traffic linear in S), so S = depth+1
+    # instead of the old fixed 48 cuts the dominant traversal cost 2-4x on
+    # typical scenes.
+    depth = _tree_depth(np.asarray(bvh.nodes_a), np.asarray(bvh.nodes_b))
     bvh = bvh.replace(node_rows=jnp.asarray(node_rows),
                       leaf_rows=jnp.asarray(leaf_rows),
-                      root_code=root_code)
+                      root_code=root_code,
+                      max_stack=depth + 1)
     return scene.replace(geometry=geom), bvh
 
 
@@ -235,8 +257,13 @@ def build_scene_bvh(scene, leaf_size: int = 4):
 # device traversal
 # ---------------------------------------------------------------------------
 
-# node steps fused per while_loop round (amortizes the round's bookkeeping)
-INNER_STEPS = 8
+# node steps fused per while_loop round. Swept on v5e (scripts/bvh_tune.py,
+# Atrium 8k tris, 1M incoherent rays): 4 -> 1.06 s, 8 -> 1.17 s,
+# 16 -> 1.41 s, 32 -> 1.43 s — smaller rounds let the ladder compact
+# sooner; the round bookkeeping it amortizes is cheaper than the wasted
+# lockstep steps. (Same sweep: ladder off = 3.9 s; leaf_size 2/4 tie at
+# ~1.1 s with 1 and 8 worse; Morton ray sorting: no effect.)
+INNER_STEPS = 4
 # below this lane count the compaction ladder stops (compaction overhead
 # beats the lockstep saving only for large waves)
 LADDER_MIN = 16384

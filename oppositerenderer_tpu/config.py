@@ -136,6 +136,11 @@ class RenderConfig:
     # per-dispatch latency through the runtime (~20 ms over a tunneled
     # link) is paid once per chunk instead of once per iteration.
     iterations_per_dispatch: int = 8
+    # upper bound on the device time of ONE fused dispatch: the runtime
+    # (tunneled TPU here; any production runtime has watchdogs too) kills
+    # multi-minute single dispatches. Renderer.render probes one iteration
+    # first, then fuses as many as fit the budget. <=0 disables adaptation.
+    dispatch_seconds_budget: float = 90.0
     # pipeline overlap: queue every fused chunk without blocking between
     # them, letting the host enqueue chunk k+1 while the device computes
     # chunk k (the reference hides latency with <=30 pending iterations

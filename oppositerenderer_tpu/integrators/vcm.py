@@ -251,9 +251,12 @@ def _connect_camera_t1(scene, camera, cfg, bsdf, hitpoint, throughput,
                * (camera_pdf_a / n_light_paths)[:, None])
 
     ok = active & inside & (max3(f) > 0.0) & ok_cam
+    # not-ok lanes trace an empty interval: they exit the BVH loop at the
+    # root and the compaction ladder drops them immediately (the t=1 splat
+    # is live on a small fraction of lanes at deeper bounces)
     occ = occluded(scene, hitpoint, dir_to_cam,
                    jnp.full_like(dist, 1.0) * eps,
-                   jnp.maximum(dist - 2 * eps, eps))
+                   jnp.where(ok, jnp.maximum(dist - 2 * eps, eps), 0.0))
     ok = ok & ~occ
     contrib = jnp.where(ok[:, None], contrib, 0.0)
     return jnp.zeros((H * W, 3)).at[jnp.where(ok, pix, 0)].add(contrib)
@@ -437,9 +440,11 @@ def trace_camera_pass(scene: Scene, camera: Camera, cfg: RenderConfig,
             contrib = (mis_weight * geom_factor)[:, None] \
                 * radiance * f * throughput
             ok = connectable & (max3(radiance) > 0.0) & (max3(f) > 0.0)
+            # not-ok lanes trace an empty interval (instant root miss)
             occ = occluded(scene, hit.position, dir_l,
                            jnp.full((n,), 1.0) * eps,
-                           jnp.maximum(ldist - 2 * eps, eps))
+                           jnp.where(ok, jnp.maximum(ldist - 2 * eps, eps),
+                                     0.0))
             color = color + jnp.where((ok & ~occ)[:, None], contrib, 0.0)
 
         # --- vertex connections (vcm.h:315-400, loop :603-616) ------------
@@ -528,9 +533,12 @@ def _connect_vertices(scene, cfg, cam_bsdf, cam_hit, cam_thr, cam_dVCM,
 
     ok = (active & (geometry > 0.0) & (max3(cam_f) > 0.0)
           & (max3(lv_f) > 0.0))
+    # not-ok lanes trace an empty interval: at deeper bounces most lanes
+    # are dead or unconnectable, and this is the hottest loop in VCM
+    # (vcm_max_path_length x (max_len-1) occlusion waves per iteration)
     occ = occluded(scene, cam_hit, direction,
                    jnp.full_like(dist, 1.0) * eps,
-                   jnp.maximum(dist - 2 * eps, eps))
+                   jnp.where(ok, jnp.maximum(dist - 2 * eps, eps), 0.0))
     return jnp.where((ok & ~occ)[:, None], contrib, 0.0)
 
 

@@ -68,6 +68,7 @@ class Renderer:
                 ppm_initial_radius = cfg.ppm_initial_radius
         self.ppm_initial_radius = float(ppm_initial_radius)
         self._compiled: dict[Any, Any] = {}
+        self._iter_seconds_estimate: float | None = None
         self.restart()
 
     # sequence-number bump analog: camera/scene/settings change -> restart
@@ -78,6 +79,8 @@ class Renderer:
         if cfg is not None:
             if (cfg.width, cfg.height) != (self.cfg.width, self.cfg.height):
                 self._compiled.clear()
+            if cfg != self.cfg:
+                self._iter_seconds_estimate = None
             self.cfg = cfg
         self.film = Film.create(self.cfg.width, self.cfg.height)
         self.iteration = 0
@@ -199,6 +202,7 @@ class Renderer:
     def render_next_iteration(self) -> dict[str, Any]:
         """Render one iteration into the film; returns metrics
         (OptixRenderer::renderNextIteration, OptixRenderer.cpp:507-826)."""
+        was_compiled = ("single", self.cfg) in self._compiled
         t0 = time.perf_counter()
         radius_sq = ppm_radius_sq_at_iteration(
             self.ppm_initial_radius, self.cfg.ppm_alpha, self.iteration)
@@ -208,6 +212,8 @@ class Renderer:
         self.film = self.film.add_iteration(radiance)
         self.film.accum.block_until_ready()
         dt = time.perf_counter() - t0
+        if was_compiled:   # compile-tainted timings would skew the budget
+            self._iter_seconds_estimate = dt
         self.iteration += 1
         self.metrics = dict(
             iteration=self.iteration,
@@ -232,14 +238,22 @@ class Renderer:
         dispatch time, not device time."""
         chunk = max(1, self.cfg.iterations_per_dispatch)
         sync = not self.cfg.async_dispatch
+        budget = self.cfg.dispatch_seconds_budget
         t_all = time.perf_counter()
         done = 0
         while done < iterations:
             n = min(chunk, iterations - done)
+            if budget > 0 and sync and n > 1:
+                est = self._iter_seconds_estimate
+                if est is None:
+                    n = 1          # probe dispatch to learn the rate
+                else:
+                    n = min(n, max(1, int(budget / max(est, 1e-9))))
             if n == 1 and sync:
                 self.render_next_iteration()
                 done += 1
                 continue
+            was_compiled = ("multi", self.cfg) in self._compiled
             t0 = time.perf_counter()
             rad_sum, stats = self._multi_step_fn()(
                 self.camera, jnp.int32(self.iteration), self.root_key,
@@ -248,6 +262,8 @@ class Renderer:
             if sync:
                 self.film.accum.block_until_ready()
             dt = time.perf_counter() - t0
+            if sync and was_compiled:
+                self._iter_seconds_estimate = dt / n
             self.iteration += n
             done += n
             self.metrics = dict(

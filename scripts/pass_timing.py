@@ -15,6 +15,16 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
+_printed = set()
+
+
+def report(results):
+    for k, v in results.items():
+        if k not in _printed:
+            print(f"{k:24s} {v * 1e3:9.2f} ms", flush=True)
+            _printed.add(k)
+
+
 def timeit(fn, reps):
     out = fn()            # compile + warm
     jax_block(out)
@@ -67,7 +77,7 @@ def main():
 
     results = {}
 
-    if args.method in ("ppm", "vcm", "both"):
+    if args.method in ("ppm", "both"):
         cfg = RenderConfig(width=W, height=H,
                            render_method=RenderMethod.
                            PROGRESSIVE_PHOTON_MAPPING)
@@ -82,31 +92,40 @@ def main():
         pkey = iteration_key(key, jnp.int32(0), ppm.PASS_PPM_PHOTON)
         gkey = iteration_key(key, jnp.int32(0), ppm.PASS_PPM_ESTIMATE)
 
-        eye = jax.jit(lambda: ppm.trace_eye_pass(sc, cam, cfg, ekey, eps,
-                                                 px, py, lanes))
-        results["ppm_eye"] = timeit(eye, args.reps)
+        eye_f = jax.jit(lambda k: ppm.trace_eye_pass(sc, cam, cfg, k, eps,
+                                                     px, py, lanes))
+        results["ppm_eye"] = timeit(lambda: eye_f(ekey), args.reps)
+        report(results)
 
-        photon = jax.jit(lambda: ppm.trace_photon_pass(sc, cfg, pkey, eps,
-                                                       plane))
-        results["ppm_photon"] = timeit(photon, args.reps)
+        photon_f = jax.jit(lambda k: ppm.trace_photon_pass(sc, cfg, k, eps,
+                                                           plane))
+        results["ppm_photon"] = timeit(lambda: photon_f(pkey), args.reps)
+        report(results)
 
-        photons, _vol, _stats = photon()
+        photons, _vol, _stats = photon_f(pkey)
         mcs = min_cell_size_for_window(radius, 4)
-        build = jax.jit(lambda: build_photon_grid(
-            photons, cfg.photon_grid_resolution, min_cell_size=mcs))
-        results["ppm_grid_build"] = timeit(build, args.reps)
+        build_f = jax.jit(lambda ph: build_photon_grid(
+            ph, cfg.photon_grid_resolution, min_cell_size=mcs))
+        results["ppm_grid_build"] = timeit(lambda: build_f(photons),
+                                           args.reps)
+        report(results)
 
-        grid = build()
-        hp = eye()
+        grid = build_f(photons)
+        hp = eye_f(ekey)
         s_g = LaneSampler(jax.random.fold_in(gkey, 55), lanes)
-        gather = jax.jit(lambda: gather_photons(
-            grid, hp.position, hp.ns, radius, max_cells_per_axis=4,
-            budget_total=cfg.gather_photon_budget, u_stride=s_g.next1()))
-        results["ppm_gather"] = timeit(gather, args.reps)
+        us = s_g.next1()
+        gather_f = jax.jit(lambda g, p, ns, u: gather_photons(
+            g, p, ns, radius, max_cells_per_axis=4,
+            budget_total=cfg.gather_photon_budget, u_stride=u))
+        results["ppm_gather"] = timeit(
+            lambda: gather_f(grid, hp.position, hp.ns, us), args.reps)
+        report(results)
 
-        full = jax.jit(lambda: ppm.render_iteration(sc, cam, cfg,
-                                                    jnp.int32(0), key, r2))
-        results["ppm_full_iteration"] = timeit(full, args.reps)
+        full_f = jax.jit(lambda k: ppm.render_iteration(sc, cam, cfg,
+                                                        jnp.int32(0), k, r2))
+        results["ppm_full_iteration"] = timeit(lambda: full_f(key),
+                                               args.reps)
+        report(results)
 
     if args.method in ("vcm", "both"):
         cfg = RenderConfig(width=W, height=H,
@@ -125,23 +144,26 @@ def main():
         lkey = iteration_key(key, jnp.int32(0), vcm.PASS_VCM_LIGHT)
         ckey = iteration_key(key, jnp.int32(0), vcm.PASS_VCM_CAMERA)
 
-        light = jax.jit(lambda: vcm.trace_light_pass(
-            sc, cam, cfg, lkey, eps, vc_w, vm_w, lanes, n))
-        results["vcm_light"] = timeit(light, args.reps)
+        light_f = jax.jit(lambda k: vcm.trace_light_pass(
+            sc, cam, cfg, k, eps, vc_w, vm_w, lanes, n))
+        results["vcm_light"] = timeit(lambda: light_f(lkey), args.reps)
+        report(results)
 
-        store, _splat, _ = light()
+        store, _splat, _ = light_f(lkey)
         pair = jnp.arange(n, dtype=jnp.int32)
-        camp = jax.jit(lambda: vcm.trace_camera_pass(
-            sc, cam, cfg, ckey, eps, vc_w, vm_w, store, n, px, py, lanes,
-            pair))
-        results["vcm_camera"] = timeit(camp, args.reps)
+        camp_f = jax.jit(lambda k, s: vcm.trace_camera_pass(
+            sc, cam, cfg, k, eps, vc_w, vm_w, s, n, px, py, lanes, pair))
+        results["vcm_camera"] = timeit(lambda: camp_f(ckey, store),
+                                       args.reps)
+        report(results)
 
-        full = jax.jit(lambda: vcm.render_iteration(sc, cam, cfg,
-                                                    jnp.int32(0), key, r2))
-        results["vcm_full_iteration"] = timeit(full, args.reps)
+        full_f = jax.jit(lambda k: vcm.render_iteration(sc, cam, cfg,
+                                                        jnp.int32(0), k, r2))
+        results["vcm_full_iteration"] = timeit(lambda: full_f(key),
+                                               args.reps)
+        report(results)
 
-    for k, v in results.items():
-        print(f"{k:24s} {v * 1e3:9.2f} ms")
+    report(results)
 
 
 if __name__ == "__main__":

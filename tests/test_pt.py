@@ -112,10 +112,14 @@ def test_async_dispatch_matches_sync():
     """Pipeline overlap (cfg.async_dispatch): identical dispatches, no
     per-chunk synchronization -> bit-identical film."""
     scene, cam = make_cornell_small()
+    # budget adaptation off so both renderers use the same dispatch split
+    # (a different split changes float summation order)
     r_sync = Renderer(scene, cam,
-                      small_cfg(16, 16, iterations_per_dispatch=3), seed=7)
+                      small_cfg(16, 16, iterations_per_dispatch=3,
+                                dispatch_seconds_budget=0.0), seed=7)
     r_async = Renderer(scene, cam,
                        small_cfg(16, 16, iterations_per_dispatch=3,
+                                 dispatch_seconds_budget=0.0,
                                  async_dispatch=True), seed=7)
     f1 = r_sync.render(7)
     f2 = r_async.render(7)
@@ -123,6 +127,23 @@ def test_async_dispatch_matches_sync():
     np.testing.assert_array_equal(np.asarray(f1.accum),
                                   np.asarray(f2.accum))
     assert np.isfinite(r_async.metrics["iteration_seconds"])
+
+
+def test_dispatch_budget_splits_but_preserves_result():
+    """A tiny dispatch_seconds_budget forces every dispatch down to a
+    single iteration (the tunneled-runtime watchdog guard); the film must
+    equal the explicitly single-stepped render bit-for-bit."""
+    scene, cam = make_cornell_small()
+    cfg = small_cfg(16, 16, iterations_per_dispatch=8,
+                    dispatch_seconds_budget=1e-9)
+    r = Renderer(scene, cam, cfg, seed=11)
+    r.render(5)
+    r_ref = Renderer(scene, cam, cfg, seed=11)
+    for _ in range(5):
+        r_ref.render_next_iteration()
+    np.testing.assert_array_equal(np.asarray(r.film.accum),
+                                  np.asarray(r_ref.film.accum))
+    assert int(r.film.iterations) == 5
 
 
 def test_renderer_checkpoint_roundtrip(tmp_path):
