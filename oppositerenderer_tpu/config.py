@@ -136,6 +136,13 @@ class RenderConfig:
     # per-dispatch latency through the runtime (~20 ms over a tunneled
     # link) is paid once per chunk instead of once per iteration.
     iterations_per_dispatch: int = 8
+    # Pallas tile-gather for the PPM indirect estimate (accel/
+    # pallas_gather.py): pixel tiles share their photon-cell intervals in
+    # VMEM instead of per-query random row gathers. None = auto (on when
+    # the scene's intersection backend is pallas, i.e. on TPU, and the
+    # pixel count divides the tile size). Same unbiased estimator family
+    # as the budgeted XLA gather; different subsampling pattern.
+    use_pallas_gather: bool | None = None
     # upper bound on the device time of ONE fused dispatch: the runtime
     # (tunneled TPU here; any production runtime has watchdogs too) kills
     # multi-minute single dispatches. Renderer.render probes one iteration

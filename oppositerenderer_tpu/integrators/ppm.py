@@ -380,12 +380,34 @@ def render_iteration(scene: Scene, camera: Camera, cfg: RenderConfig,
                 min_cell_size=min_cell_size_for_window(radius, 4))
         s_gather = LaneSampler(jax.random.fold_in(est_key, 55), pixel_lanes,
                                cheap=cfg.use_cheap_random)
+        from ..accel.pallas_gather import (BLOCK as _TG_BLOCK,
+                                           ROWS as _TG_ROWS,
+                                           TILE as _TG_TILE)
+        use_tiled = cfg.use_pallas_gather
+        blockable = W % _TG_BLOCK == 0 and H % _TG_BLOCK == 0
+        if use_tiled is None:
+            use_tiled = scene.backend == "pallas" and blockable
         with pass_scope("ppm_indirect_gather"):
-            accum_power, gather_stats = gather_photons(
-                grid, hp.position, hp.ns, radius,
-                max_cells_per_axis=4,
-                budget_total=cfg.gather_photon_budget,
-                u_stride=s_gather.next1())
+            if use_tiled and blockable:
+                from ..accel.pallas_gather import (gather_photons_tiled,
+                                                   tile_block_order)
+                perm, inv = tile_block_order(W, H)
+                perm = jnp.asarray(perm)
+                u_rows = s_gather.next1().reshape(
+                    n // _TG_TILE, _TG_TILE)[:, :_TG_ROWS + 2]
+                acc_b, gather_stats = gather_photons_tiled(
+                    grid, hp.position[perm], hp.ns[perm], radius,
+                    u_rows=u_rows, valid=hp.found[perm],
+                    interpret=jax.default_backend() != "tpu")
+                inv = jnp.asarray(inv)
+                accum_power = acc_b[inv]
+                gather_stats = {k: v[inv] for k, v in gather_stats.items()}
+            else:
+                accum_power, gather_stats = gather_photons(
+                    grid, hp.position, hp.ns, radius,
+                    max_cells_per_axis=4,
+                    budget_total=cfg.gather_photon_budget,
+                    u_stride=s_gather.next1())
     elif cfg.photon_map_structure == PhotonMapStructure.KD_TREE_CPU:
         from ..photon_map import build_photon_kdtree, gather_kdtree
         tree = build_photon_kdtree(photons)

@@ -147,13 +147,18 @@ def build_photon_grid(photons: PhotonBatch, resolution: int,
         n_valid=jnp.sum(v).astype(jnp.int32))
 
 
+# Jensen gaussian filter constants (IndirectRadianceEstimation.cu:60-67);
+# shared with the Pallas tile-gather kernel (accel/pallas_gather.py)
+GAUSS_ALPHA = 1.818
+GAUSS_BETA = 1.953
+GAUSS_EXP_NEG_BETA = 0.141847
+
+
 def gaussian_kernel_weight(distance2: Array, radius2: Array) -> Array:
     """Jensen gaussian filter (IndirectRadianceEstimation.cu:60-67)."""
-    alpha = 1.818
-    beta = 1.953
-    exp_neg_beta = 0.141847
-    return alpha * (1.0 - (1.0 - jnp.exp(-beta * distance2 / (2.0 * radius2)))
-                    / (1.0 - exp_neg_beta))
+    return GAUSS_ALPHA * (
+        1.0 - (1.0 - jnp.exp(-GAUSS_BETA * distance2 / (2.0 * radius2)))
+        / (1.0 - GAUSS_EXP_NEG_BETA))
 
 
 def gather_photons(grid: PhotonGrid, position: Array, normal: Array,

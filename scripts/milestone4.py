@@ -78,12 +78,14 @@ def main():
               "resolution": f"{args.size}x{args.size}",
               "device": str(jax.devices()[0]), "load_seconds": round(load_s, 2)}
     for name in args.methods.split(","):
-        # small fused chunks: a 1024^2 BVH iteration is tens of seconds of
-        # device time, and the tunneled runtime kills multi-minute single
-        # dispatches (UNAVAILABLE) — so cap each dispatch at 2 iterations
+        # single-iteration dispatches: a 1024^2 BVH iteration is 40-60 s of
+        # device time and the tunneled runtime kills long single dispatches
+        # (UNAVAILABLE) with an unstable threshold — a 30 s budget keeps
+        # every dispatch at one iteration here
         cfg = RenderConfig(width=args.size, height=args.size,
                            render_method=methods[name],
-                           iterations_per_dispatch=2)
+                           iterations_per_dispatch=2,
+                           dispatch_seconds_budget=30.0)
         r = Renderer(scene, camera, cfg, seed=0)
         t0 = time.perf_counter()
         r.render(1)
