@@ -1,45 +1,45 @@
-"""BVH: host-side build (C++/numpy) + on-device wavefront traversal.
+"""BVH: host-side build (C++/numpy) + on-device wide-arity wavefront traversal.
 
 Replaces OptiX's runtime acceleration structure (``scene/Scene.cpp:353``
 "Trbvh") for scenes beyond the dense brute-force budget. The build is a
-one-time host step (native binned-SAH via ctypes, numpy median-split
-fallback); the geometry is permuted so each leaf's primitives are contiguous,
-and traversal on the TPU is a masked per-ray short-stack loop where every
-leaf test is a dense [rays x leaf_size] Moller-Trumbore block — the dense
-inner loop keeps the VPU busy while the stack walk handles divergence with
-masks (SURVEY.md section 7 "hard parts": blockwise traversal design).
+one-time host step: a native binned-SAH binary build (ctypes, numpy
+median-split fallback) collapsed into a WIDE (8-ary by default) BVH; the
+geometry is permuted so each leaf's primitives are contiguous, and traversal
+on the TPU is a masked per-ray loop where every leaf test is a dense
+[rays x leaf_size] Moller-Trumbore block (SURVEY.md section 7 "hard parts":
+blockwise traversal design).
 
 Traversal runs under ``lax.while_loop`` and is wrapped in a zero-gradient
 ``custom_vjp``: intersection outputs carry no material-parameter dependence
 (the supported differentiation scope), and this keeps ``jax.grad`` working
 over the loop.
 
-PERF ANALYSIS & the Pallas decision (round-2, v5e, Atrium 253k tris,
-512^2 camera wave = 262k rays; the north star asked for "BVH traversal as
-a Pallas kernel — build it or bound it"):
+PERF ANALYSIS (round-2 measurements drove the round-3 redesign; v5e):
 
-* table-row gathers are BANDWIDTH-priced, not latency-priced: gathering
-  262k random rows of a [131k, 16] f32 table measures 0.091 ms =
-  ~176 GB/s (microbench in round-2 notes); wider rows are FASTER per
-  byte (0.11 ns/row at width 128). The node/leaf fetch stream therefore
-  already runs at the memory system's speed — a hand-written Pallas
-  kernel cannot fetch divergent nodes faster than XLA's gather, because
-  the TPU has no per-lane gather hardware to hand-tune; Mosaic lowers
-  divergent VMEM indexing to the same serialized machinery.
-* what WAS slow (round-1 design) is per-lane dynamic indexing of the
-  [N, S] traversal stack: ``stack[ar, sp]`` reads measure 3.2 ms and
-  ``.at[ar, sp].set`` writes 2.1 ms at 262k x 48 — 30x the node fetch.
-  The round-2 redesign eliminates most of them: the near child continues
-  in a register (``cur``), only far children of both-hit nodes touch the
-  stack, and the remaining push/pop use one-hot masked selects (0.8 ms).
-  Camera-wave closest hit: 1.00 s -> 0.61 s.
-* the residual bound is LOCKSTEP DIVERGENCE: p50=99 / p95=327 node steps
-  per ray; every while_loop round pays the full wave. The compaction
-  ladder (argsort live lanes, shrink 2x per level) recovers most of the
-  tail. A Pallas kernel would face the same divergence with the same
-  memory system, so the XLA formulation is kept — revisit only with an
-  algorithmic change (wider BVH arity or ray reordering), not a kernel
-  rewrite.
+* table-row gathers are BANDWIDTH-priced, not latency-priced (262k random
+  rows of a [131k, 16] f32 table = 0.091 ms ~ 176 GB/s; wider rows are
+  FASTER per byte), so the design goal is FEWER STEPS x ONE ROW PER STEP,
+  not faster fetches. A Pallas kernel cannot fetch divergent rows faster
+  than XLA's gather — the TPU has no per-lane gather hardware — so the XLA
+  formulation is kept and the win is algorithmic.
+* the round-2 binary BVH paid p50=99 / p95=327 lockstep node steps per ray
+  and TWO row gathers per step (node row + leaf row, ~66 MB/step at 262k
+  lanes). The round-3 wide BVH cuts both:
+  - arity 8 shortens the tree (depth ~7 instead of ~19-26 on the 253k-tri
+    Atrium), cutting per-ray steps ~2.5-3x;
+  - ONE unified row table holds both node rows (8 child AABBs + 8 child
+    codes) and leaf rows (6 inlined triangles + occluder flags), so every
+    step is exactly ONE [N, 64] gather;
+  - the traversal stack stores (node, remaining-child-bitmask) packed in
+    one int32 — re-visiting a multi-hit node re-slabs it against the
+    CURRENT t_best (extra pruning), and stack depth stays bounded by the
+    (short) wide-tree depth, so the one-hot stack ops touch [N, ~8]
+    instead of [N, 26-48].
+* the residual lockstep divergence is handled as before by the compaction
+  ladder (argsort live lanes, shrink 2x per level).
+
+Measured numbers for this design live in PERF.md (regenerated each round
+from scripts/bvh_tune.py and bench.py runs on the real chip).
 """
 from __future__ import annotations
 
@@ -58,29 +58,33 @@ class Bvh:
     """Flattened BVH.
 
     Two representations coexist:
-    * the plain node arrays (nodes_min/max/a/b) from the builder — kept for
-      inspection/tests;
-    * the PACKED traversal layout (node_rows/leaf_rows), built by
-      ``build_scene_bvh``: every per-step random-row gather on TPU costs
-      ~6 ns/row regardless of width, so traversal state is packed to ONE
-      row gather per node pop (both children's AABBs + child codes live in
-      the parent row) and ONE row gather per visited leaf (its <=L
-      triangles, occluder flags, and first-prim id inline).
+    * the plain BINARY node arrays (nodes_min/max/a/b) from the builder —
+      kept for inspection/tests;
+    * the WIDE packed traversal layout (``rows``), built by
+      ``build_scene_bvh``: one [R, W] f32 table holding both wide inner
+      nodes and leaves, so traversal does exactly one row gather per step.
 
-    Child codes: inner child = node index (>=0); leaf child =
-    ``-(leaf_row * 32 + count) - 1`` (count <= 31).
+      Inner row (arity A, W = ceil((7A+1)/8)*8): child i occupies cols
+      [6i, 6i+6) = (min3, max3); cols [6A, 7A) = child codes (bitcast
+      int32); col [7A] = valid-child bitmask (bitcast int32 — reversed
+      bounds do NOT reject in the min/max slab form, so missing children
+      are masked explicitly).
+      Leaf row (L = (W-1)//10 triangles): cols [0, 9L) = L x (v0, e1, e2),
+      [9L, 10L) = occluder flags, [10L] = first (permuted) prim id.
+
+    Child codes: inner child = row index (>= 0); leaf child =
+    ``-(row * 32 + count) - 1`` (count <= 31).
     """
 
-    nodes_min: Array  # [n,3]
+    nodes_min: Array  # [n,3] binary tree (builder output, for tests)
     nodes_max: Array  # [n,3]
     nodes_a: Array    # [n] inner: left child; leaf: ~first_prim
     nodes_b: Array    # [n] inner: right child; leaf: prim count
-    # packed traversal layout (None until build_scene_bvh packs it)
-    node_rows: Array = None   # [n,16] f32: lmin,lmax,rmin,rmax,a_code,b_code
-    leaf_rows: Array = None   # [m,W] f32: L*9 tri | L occluder flags | first
+    rows: Array = None   # [R, W] unified wide node/leaf table
     root_code: int = struct.field(pytree_node=False, default=0)
-    leaf_size: int = struct.field(pytree_node=False, default=16)
-    max_stack: int = struct.field(pytree_node=False, default=48)
+    arity: int = struct.field(pytree_node=False, default=8)
+    leaf_size: int = struct.field(pytree_node=False, default=6)
+    max_stack: int = struct.field(pytree_node=False, default=12)
 
 
 # ---------------------------------------------------------------------------
@@ -151,75 +155,134 @@ def _bitcast_i2f(x: np.ndarray) -> np.ndarray:
     return x.astype(np.int32).view(np.float32)
 
 
-def _pack_bvh(nmn, nmx, na, nb, tri9_perm, occluder, leaf_size):
-    """Build the packed traversal layout (see Bvh docstring). Host numpy."""
-    assert leaf_size <= 31, "leaf count must fit 5 bits of the code"
-    n_nodes = na.shape[0]
-    is_leaf = na < 0
-    leaf_row_of = np.cumsum(is_leaf) - 1          # node -> leaf row
+def _collapse_wide(nmn, nmx, na, nb, arity):
+    """Collapse the binary SAH tree into wide nodes (host numpy).
 
-    codes = np.where(is_leaf,
-                     -(leaf_row_of * 32 + nb) - 1,
-                     np.arange(n_nodes)).astype(np.int32)
+    A wide node's child list starts as the binary root's two children and
+    repeatedly replaces the INNER child with the largest surface area by its
+    two binary children until ``arity`` children or all leaves — the
+    standard greedy SAH collapse. Returns (wide_children, depth) where
+    wide_children[i] is a list of ('leaf', first, count) | ('inner', wid).
+    """
+    ext = np.maximum(nmx - nmn, 0.0)
+    sa = ext[:, 0] * ext[:, 1] + ext[:, 1] * ext[:, 2] \
+        + ext[:, 2] * ext[:, 0]
 
-    node_rows = np.zeros((n_nodes, 16), np.float32)
-    inner = np.where(~is_leaf)[0]
-    a = na[inner]
-    b = nb[inner]
-    node_rows[inner, 0:3] = nmn[a]
-    node_rows[inner, 3:6] = nmx[a]
-    node_rows[inner, 6:9] = nmn[b]
-    node_rows[inner, 9:12] = nmx[b]
-    node_rows[inner, 12] = _bitcast_i2f(codes[a])
-    node_rows[inner, 13] = _bitcast_i2f(codes[b])
+    wide_children: list[list] = []
+    # queue of (binary inner node -> wide id); binary root handled by caller
+    todo = [(0, 0)]
+    wide_children.append(None)
+    wide_of = {0: 0}
+    while todo:
+        b, wid = todo.pop()
+        kids = [int(na[b]), int(nb[b])]
+        while len(kids) < arity:
+            best, best_sa = -1, -1.0
+            for i, k in enumerate(kids):
+                if na[k] >= 0 and sa[k] > best_sa:
+                    best, best_sa = i, sa[k]
+            if best < 0:
+                break
+            k = kids.pop(best)
+            kids.extend([int(na[k]), int(nb[k])])
+        entry = []
+        for k in kids:
+            if na[k] < 0:
+                entry.append(("leaf", int(~na[k]), int(nb[k]), k))
+            else:
+                nwid = len(wide_children)
+                wide_children.append(None)
+                wide_of[k] = nwid
+                todo.append((k, nwid))
+                entry.append(("inner", nwid, 0, k))
+        wide_children[wid] = entry
 
-    # leaf rows: L triangles inline + occluder flags + first prim id
-    L = leaf_size
-    width = 9 * L + L + 1
-    width = -(-width // 8) * 8
-    leaf_nodes = np.where(is_leaf)[0]
-    m = leaf_nodes.shape[0]
-    leaf_rows = np.zeros((m, width), np.float32)
-    first = (~na[leaf_nodes]).astype(np.int64)
-    count = nb[leaf_nodes].astype(np.int64)
-    n_tris = tri9_perm.shape[0]
-    assert n_tris < (1 << 24), "first-prim id must be exact in f32"
-    k = np.arange(L)
-    idx = np.minimum(first[:, None] + k, n_tris - 1)      # [m, L]
-    valid = k[None, :] < count[:, None]
-    tri = np.where(valid[..., None], tri9_perm[idx], 0.0)  # [m, L, 9]
-    leaf_rows[:, :9 * L] = tri.reshape(m, 9 * L)
-    leaf_rows[:, 9 * L:9 * L + L] = np.where(valid, occluder[idx], 0.0)
-    leaf_rows[:, 9 * L + L] = first.astype(np.float32)
-    return node_rows, leaf_rows, int(codes[0])
-
-
-def _tree_depth(na: np.ndarray, nb: np.ndarray) -> int:
-    """Max root->leaf depth (#inner levels) of the flattened tree."""
-    depth = 0
+    # depth of the wide tree (iterative)
+    depth = 1
     stack = [(0, 1)]
     while stack:
-        node, d = stack.pop()
-        if na[node] < 0:
-            depth = max(depth, d)
-        else:
-            stack.append((int(na[node]), d + 1))
-            stack.append((int(nb[node]), d + 1))
-    return depth
+        wid, d = stack.pop()
+        depth = max(depth, d)
+        for kind, a, _, _ in wide_children[wid]:
+            if kind == "inner":
+                stack.append((a, d + 1))
+    return wide_children, depth
 
 
-def build_scene_bvh(scene, leaf_size: int = 4):
+def _row_width(arity: int) -> int:
+    return -(-(7 * arity + 1) // 8) * 8
+
+
+def _pack_wide(nmn, nmx, na, nb, tri9_perm, occluder, arity, L):
+    """Pack the collapsed wide tree into the unified row table. ``L`` is
+    the leaf triangle capacity (also the column layout of leaf rows, so it
+    must match the Bvh.leaf_size the traversal decodes with)."""
+    W = _row_width(arity)
+    n_tris = tri9_perm.shape[0]
+    assert n_tris < (1 << 24), "first-prim id must be exact in f32"
+
+    if na[0] < 0:  # whole scene is one binary leaf
+        first, count = int(~na[0]), int(nb[0])
+        assert count <= L
+        rows = np.zeros((1, W), np.float32)
+        _fill_leaf_row(rows, 0, first, count, tri9_perm, occluder, L)
+        return rows, -(0 * 32 + count) - 1, 1
+
+    wide_children, depth = _collapse_wide(nmn, nmx, na, nb, arity)
+    n_wide = len(wide_children)
+    n_leaf = sum(1 for ch in wide_children for c in ch if c[0] == "leaf")
+    assert n_wide < (1 << (31 - arity)), "stack packing needs small codes"
+    rows = np.zeros((n_wide + n_leaf, W), np.float32)
+
+    leaf_row = n_wide
+    for wid, ch in enumerate(wide_children):
+        valid = 0
+        for i, (kind, a, cnt, b) in enumerate(ch):
+            rows[wid, 6 * i:6 * i + 3] = nmn[b]
+            rows[wid, 6 * i + 3:6 * i + 6] = nmx[b]
+            valid |= 1 << i
+            if kind == "inner":
+                code = a
+            else:
+                assert cnt <= min(L, 31)
+                _fill_leaf_row(rows, leaf_row, a, cnt, tri9_perm,
+                               occluder, L)
+                code = -(leaf_row * 32 + cnt) - 1
+                leaf_row += 1
+            rows[wid, 6 * arity + i] = _bitcast_i2f(np.asarray([code]))[0]
+        rows[wid, 7 * arity] = _bitcast_i2f(np.asarray([valid]))[0]
+    return rows, 0, depth
+
+
+def _fill_leaf_row(rows, r, first, count, tri9_perm, occluder, L):
+    n_tris = tri9_perm.shape[0]
+    k = np.arange(L)
+    idx = np.minimum(first + k, n_tris - 1)
+    valid = k < count
+    rows[r, :9 * L] = np.where(valid[:, None], tri9_perm[idx],
+                               0.0).reshape(-1)
+    rows[r, 9 * L:10 * L] = np.where(valid, occluder[idx], 0.0)
+    rows[r, 10 * L] = np.float32(first)
+
+
+def build_scene_bvh(scene, leaf_size: int | None = None, arity: int = 8):
     """Returns (scene-with-permuted-triangles, Bvh). Spheres stay dense
-    (their count is tiny in every reference scene). Default leaf_size 4:
-    small inline leaves measured fastest on TPU (leaf cost is one wide row
-    gather, so fewer triangles per visited leaf wins)."""
+    (their count is tiny in every reference scene).
+
+    ``arity`` is the wide-BVH branching factor; the leaf size is derived
+    from the unified row width (arity 8 -> 64-f32 rows -> 6 triangles/leaf;
+    arity swept per round by scripts/bvh_tune.py, results in PERF.md)."""
+    W = _row_width(arity)
+    L = (W - 1) // 10
+    if leaf_size is not None:
+        L = min(L, leaf_size)
     g = scene.geometry
     v0 = np.asarray(g.tri_v0)
     v1 = v0 + np.asarray(g.tri_e1)
     v2 = v0 + np.asarray(g.tri_e2)
     pmin = np.minimum(np.minimum(v0, v1), v2)
     pmax = np.maximum(np.maximum(v0, v1), v2)
-    bvh, order = build_bvh_arrays(pmin, pmax, leaf_size)
+    bvh, order = build_bvh_arrays(pmin, pmax, L)
     perm = jnp.asarray(order)
     geom = g.replace(
         tri_v0=g.tri_v0[perm], tri_e1=g.tri_e1[perm], tri_e2=g.tri_e2[perm],
@@ -235,21 +298,14 @@ def build_scene_bvh(scene, leaf_size: int = 4):
                            np.asarray(geom.tri_e2)], axis=1)  # [T,9]
     is_em = (np.asarray(scene.materials.kind)[np.asarray(geom.tri_mat)]
              == EMITTER)
-    node_rows, leaf_rows, root_code = _pack_bvh(
+    rows, root_code, depth = _pack_wide(
         np.asarray(bvh.nodes_min), np.asarray(bvh.nodes_max),
         np.asarray(bvh.nodes_a), np.asarray(bvh.nodes_b),
-        tri9, (~is_em).astype(np.float32), leaf_size)
-    # size the traversal stack to the ACTUAL tree depth: the register-cursor
-    # design only ever pushes the far child of a both-hit node, so pending
-    # entries never exceed the root->leaf depth. Every stack op is a masked
-    # one-hot select over [N, S] (HBM traffic linear in S), so S = depth+1
-    # instead of the old fixed 48 cuts the dominant traversal cost 2-4x on
-    # typical scenes.
-    depth = _tree_depth(np.asarray(bvh.nodes_a), np.asarray(bvh.nodes_b))
-    bvh = bvh.replace(node_rows=jnp.asarray(node_rows),
-                      leaf_rows=jnp.asarray(leaf_rows),
-                      root_code=root_code,
-                      max_stack=depth + 1)
+        tri9, (~is_em).astype(np.float32), arity, L)
+    # stack entries are (ancestor node, remaining-child mask) pairs — at
+    # most one per wide-tree level — so depth+1 slots always suffice.
+    bvh = bvh.replace(rows=jnp.asarray(rows), root_code=root_code,
+                      arity=arity, leaf_size=L, max_stack=depth + 1)
     return scene.replace(geometry=geom), bvh
 
 
@@ -257,26 +313,23 @@ def build_scene_bvh(scene, leaf_size: int = 4):
 # device traversal
 # ---------------------------------------------------------------------------
 
-# node steps fused per while_loop round. Swept on v5e (scripts/bvh_tune.py,
-# Atrium 8k tris, 1M incoherent rays): 4 -> 1.06 s, 8 -> 1.17 s,
-# 16 -> 1.41 s, 32 -> 1.43 s — smaller rounds let the ladder compact
-# sooner; the round bookkeeping it amortizes is cheaper than the wasted
-# lockstep steps. (Same sweep: ladder off = 3.9 s; leaf_size 2/4 tie at
-# ~1.1 s with 1 and 8 worse; Morton ray sorting: no effect.)
+# node steps fused per while_loop round (tunable; swept per round by
+# scripts/bvh_tune.py on the real chip — results in PERF.md)
 INNER_STEPS = 4
 # below this lane count the compaction ladder stops (compaction overhead
 # beats the lockstep saving only for large waves)
 LADDER_MIN = 16384
-# wave shrink factor per ladder level (2 measured ~8% faster than 4 on the
-# Atrium camera wave: more compactions, less lockstep tail)
+# wave shrink factor per ladder level
 _LADDER_DIV = 2
 
 
 def _init_state(bvh: Bvh, o, d, tmin, tmax):
     n = o.shape[0]
+    full = (1 << bvh.arity) - 1
     return dict(
         o=o, d=d, tmin=tmin,
         cur=jnp.full((n,), bvh.root_code, jnp.int32),
+        cmask=jnp.full((n,), full, jnp.int32),
         cur_ok=jnp.ones((n,), jnp.bool_),
         stack=jnp.zeros((n, bvh.max_stack), jnp.int32),
         sp=jnp.zeros((n,), jnp.int32),
@@ -297,7 +350,8 @@ def _oh_read(stack, pos):
     """stack[i, pos[i]] without a per-lane column gather: one-hot select.
     Per-lane dynamic indexing along a minor axis lowers to serialized
     gathers/scatters on TPU (measured 3.2 ms per read and 2.1 ms per write
-    at 262k x 48 on v5e vs 0.8 ms for the one-hot form)."""
+    at 262k x 48 on v5e vs 0.8 ms for the one-hot form; the wide-BVH stack
+    is only [N, depth+1 ~ 8] so these are now sub-0.1 ms)."""
     S = stack.shape[1]
     m = jnp.arange(S, dtype=pos.dtype)[None, :] == pos[:, None]
     return jnp.sum(jnp.where(m, stack, 0), axis=1)
@@ -311,28 +365,11 @@ def _oh_write(stack, pos, val, mask):
 
 
 def _traverse_impl(bvh: Bvh, geom, o, d, tmin, tmax, any_hit: bool):
-    """Wavefront traversal: register-top cursor + one-hot stack +
-    immediate leaf tests, under a compaction ladder.
-
-    Design (v5e-measured costs drove every choice):
-
-    * the NEAR child of an inner node continues in a per-lane register
-      (``cur``) instead of round-tripping through the stack — only the far
-      child of a both-hit node touches stack memory, so most steps do ZERO
-      stack operations;
-    * stack push/pop use one-hot masked selects (see _oh_read) — per-lane
-      dynamic indexing of a [N, S] array is the single most expensive op
-      family in a traversal round on TPU;
-    * leaf children are tested IMMEDIATELY as a dense [N, L]
-      Moller-Trumbore block fed by one packed leaf-row gather (~0.1 ms at
-      262k lanes) — table-row gathers are bandwidth-priced on TPU, not
-      latency-priced, so there is nothing to batch;
-    * the while-loop is LOCKSTEP: every round pays the full wave until the
-      slowest lane finishes (p50=99 / p95=327 node steps per camera ray on
-      the Atrium), so once the unfinished count drops below a quarter of
-      the wave the live lanes are compacted 4x and the loop continues
-      there (recursively, down to LADDER_MIN lanes).
-    """
+    """Wide-BVH wavefront traversal (see module docstring), under a
+    compaction ladder: every while-loop round is LOCKSTEP — the full wave
+    pays until the slowest lane finishes — so once the unfinished count
+    drops below half the wave the live lanes are compacted 2x and the loop
+    continues there (recursively, down to LADDER_MIN lanes)."""
     st = _init_state(bvh, o, d, tmin, tmax)
     st = _solve(bvh, st, any_hit)
     return (st["t_best"], st["i_best"], st["u_best"], st["v_best"],
@@ -357,9 +394,12 @@ def _run_until(bvh: Bvh, st, any_hit: bool, cap: int):
     """Run traversal rounds until <= ``cap`` lanes remain unfinished."""
     n = st["o"].shape[0]
     S = bvh.max_stack
+    A = bvh.arity
     L = bvh.leaf_size
-    n_leaves = bvh.leaf_rows.shape[0]
+    full_mask = (1 << A) - 1
+    n_rows = bvh.rows.shape[0]
     ar = jnp.arange(n)
+    abits = jnp.arange(A, dtype=jnp.int32)
 
     def outer_cond(st):
         return jnp.sum(_runnable(st, any_hit)) > cap
@@ -369,30 +409,38 @@ def _run_until(bvh: Bvh, st, any_hit: bool, cap: int):
         inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
 
         def step(_, st2):
-            (cur, cur_ok, stack, sp, t_best, i_best, u_best, v_best,
-             found) = st2
+            (cur, cmask, cur_ok, stack, sp, t_best, i_best, u_best,
+             v_best, found) = st2
             if any_hit:
                 cur_ok = cur_ok & ~found
 
-            # refill the cursor from the stack where it ran dry
+            # refill the cursor from the stack where it ran dry. Entries
+            # pack (node << A) | remaining-child-mask; node >= 0 always.
             need = ~cur_ok & (sp > 0)
             if any_hit:
                 need = need & ~found
             top = _oh_read(stack, sp - 1)
-            cur = jnp.where(need, top, cur)
+            cur = jnp.where(need, top >> A, cur)
+            cmask = jnp.where(need, top & full_mask, cmask)
             cur_ok = cur_ok | need
             sp = sp - need.astype(jnp.int32)
 
             is_leaf_c = cur_ok & (cur < 0)
+            is_inner = cur_ok & (cur >= 0)
 
-            # ---- leaf: dense [N, L] Moller-Trumbore now ----------------
+            # ---- ONE unified row gather for both interpretations --------
             dec = -cur - 1
-            lrow = bvh.leaf_rows[jnp.where(is_leaf_c, jnp.minimum(
-                dec >> 5, n_leaves - 1), 0)]               # [N, W]
+            row_idx = jnp.where(is_inner, cur,
+                                jnp.where(is_leaf_c,
+                                          jnp.minimum(dec >> 5, n_rows - 1),
+                                          0))
+            row = bvh.rows[row_idx]                       # [N, W]
+
+            # ---- leaf: dense [N, L] Moller-Trumbore ----------------------
             count = jnp.where(is_leaf_c, dec & 31, 0)
-            tri = lrow[:, :9 * L].reshape(n, L, 9)
-            occ_f = lrow[:, 9 * L:9 * L + L]
-            first = lrow[:, 9 * L + L].astype(jnp.int32)
+            tri = row[:, :9 * L].reshape(n, L, 9)
+            occ_f = row[:, 9 * L:10 * L]
+            first = row[:, 10 * L].astype(jnp.int32)
             ks = jnp.arange(L)
             cand = ks[None, :] < count[:, None]
             if any_hit:
@@ -426,50 +474,51 @@ def _run_until(bvh: Bvh, st, any_hit: bool, cap: int):
                 v_best = jnp.where(better, v[ar, j], v_best)
                 found = found | better
 
-            # ---- inner: slab both children from the packed row ---------
-            is_inner = cur_ok & (cur >= 0)
-            row = bvh.node_rows[jnp.where(is_inner, cur, 0)]   # [N,16]
+            # ---- inner: slab all A children, masked by cmask -------------
+            ch = row[:, :6 * A].reshape(n, A, 6)
+            t0 = (ch[..., 0:3] - ob) * inv_d[:, None, :]
+            t1 = (ch[..., 3:6] - ob) * inv_d[:, None, :]
+            tn = jnp.maximum(jnp.max(jnp.minimum(t0, t1), -1),
+                             tmin[:, None])
+            tf = jnp.minimum(jnp.min(jnp.maximum(t0, t1), -1),
+                             t_best[:, None])
+            valid = jax.lax.bitcast_convert_type(row[:, 7 * A], jnp.int32)
+            mbit = ((cmask & valid)[:, None] >> abits[None, :]) & 1
+            hit = (tn <= tf) & (mbit > 0) & is_inner[:, None]
+            codes = jax.lax.bitcast_convert_type(
+                row[:, 6 * A:7 * A], jnp.int32)                 # [N, A]
 
-            def slab(bmin, bmax):
-                t0 = (bmin - o) * inv_d
-                t1 = (bmax - o) * inv_d
-                tn = jnp.maximum(jnp.max(jnp.minimum(t0, t1), -1), tmin)
-                tf = jnp.minimum(jnp.min(jnp.maximum(t0, t1), -1), t_best)
-                return tn, tn <= tf
-
-            tn_l, hit_l = slab(row[:, 0:3], row[:, 3:6])
-            tn_r, hit_r = slab(row[:, 6:9], row[:, 9:12])
-            a_code = jax.lax.bitcast_convert_type(row[:, 12], jnp.int32)
-            b_code = jax.lax.bitcast_convert_type(row[:, 13], jnp.int32)
-            hit_l = hit_l & is_inner
-            hit_r = hit_r & is_inner
-
-            near_is_left = tn_l <= tn_r
-            near = jnp.where(near_is_left, a_code, b_code)
-            far = jnp.where(near_is_left, b_code, a_code)
-            near_hit = jnp.where(near_is_left, hit_l, hit_r)
-            far_hit = jnp.where(near_is_left, hit_r, hit_l)
-
-            # both hit: far -> stack, near -> cursor. One hit: cursor.
-            push = near_hit & far_hit & (sp < S)
-            stack = _oh_write(stack, sp, far, push)
+            # nearest hit child -> cursor; re-push (cur, remaining mask)
+            # when >= 2 children hit. One-hot over A avoids per-lane minor-
+            # axis gathers.
+            key = jnp.where(hit, tn, BIG)
+            j2 = jnp.argmin(key, axis=1)
+            oh = abits[None, :] == j2[:, None]
+            go = jnp.sum(jnp.where(oh, codes, 0), axis=1)
+            khits = jnp.sum(hit, axis=1)
+            rem = jnp.sum(jnp.where(hit & ~oh, 1 << abits[None, :], 0),
+                          axis=1)
+            push = is_inner & (khits >= 2)
+            stack = _oh_write(stack, sp, (cur << A) | rem, push)
             sp = sp + push.astype(jnp.int32)
-            go = jnp.where(near_hit, near, far)
+
             cur = jnp.where(is_inner, go, cur)
-            cur_ok = jnp.where(is_inner, near_hit | far_hit,
-                               cur_ok & ~is_leaf_c)
-            return (cur, cur_ok, stack, sp, t_best, i_best, u_best,
+            cmask = jnp.where(is_inner, full_mask, cmask)
+            cur_ok = jnp.where(is_inner, khits > 0, cur_ok & ~is_leaf_c)
+            return (cur, cmask, cur_ok, stack, sp, t_best, i_best, u_best,
                     v_best, found)
 
         out = jax.lax.fori_loop(
             0, INNER_STEPS, step,
-            (st["cur"], st["cur_ok"], st["stack"], st["sp"], st["t_best"],
-             st["i_best"], st["u_best"], st["v_best"], st["found"]))
-        (cur, cur_ok, stack, sp, t_best, i_best, u_best, v_best,
+            (st["cur"], st["cmask"], st["cur_ok"], st["stack"], st["sp"],
+             st["t_best"], st["i_best"], st["u_best"], st["v_best"],
+             st["found"]))
+        (cur, cmask, cur_ok, stack, sp, t_best, i_best, u_best, v_best,
          found) = out
-        return dict(o=o, d=d, tmin=tmin, cur=cur, cur_ok=cur_ok,
-                    stack=stack, sp=sp, t_best=t_best, i_best=i_best,
-                    u_best=u_best, v_best=v_best, found=found)
+        return dict(o=o, d=d, tmin=tmin, cur=cur, cmask=cmask,
+                    cur_ok=cur_ok, stack=stack, sp=sp, t_best=t_best,
+                    i_best=i_best, u_best=u_best, v_best=v_best,
+                    found=found)
 
     return jax.lax.while_loop(outer_cond, outer, st)
 

@@ -123,8 +123,8 @@ class RenderConfig:
     # --- intersection backend ---
     intersector: Intersector = Intersector.AUTO
     bruteforce_max_tris: int = 4096       # AUTO switches to BVH above this
-    bvh_leaf_size: int = 16               # triangles per BVH leaf cluster
-    bvh_max_stack: int = 48               # traversal stack depth bound
+    bvh_arity: int = 8                    # wide-BVH branching factor
+    bvh_leaf_size: int = 6                # max triangles per leaf row
 
     # --- output (reference Gui/Application.cpp:36-40) ---
     gamma: float = 2.2

@@ -140,8 +140,11 @@ def photon_depth_histogram(scene: Scene, cfg: RenderConfig, seed: int = 0,
     lanes = jnp.arange(cfg.photons_per_iteration, dtype=jnp.int32)
     photons, _vol, stats = ppm.trace_photon_pass(scene, cfg, photon_key,
                                                  eps, lanes)
+    # trace_photon_pass stacks deposits DEPTH-MAJOR (scan over depth, then
+    # lanes: flat index = depth * n + lane), so the per-path count sums over
+    # the leading depth axis — reshape(n, -1) would mix lanes across depths
     per_path = photons.valid.reshape(
-        cfg.photons_per_iteration, -1).sum(axis=1)
+        -1, cfg.photons_per_iteration).sum(axis=0)
     hist = jnp.zeros((cfg.max_photon_deposits_per_emitted + 1,),
                      jnp.int32).at[jnp.clip(
                          per_path, 0,

@@ -18,6 +18,14 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devices):
+            # silently truncating turns every "sharded" check into a
+            # vacuous 1-device pass — fail loudly instead
+            raise ValueError(
+                f"requested {n_devices} devices but only {len(devices)} "
+                f"available (set XLA_FLAGS="
+                f"--xla_force_host_platform_device_count={n_devices} "
+                f"JAX_PLATFORMS=cpu for a virtual mesh)")
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (TILE_AXIS,))
 

@@ -213,7 +213,10 @@ def _ppm_shard(scene, camera, cfg, it, key, radius_sq, eps, px_s, py_s,
 def _vcm_shard(scene, camera, cfg, it, key, radius_sq, eps, px_s, py_s,
                lanes_s, n_global, n_local):
     n_light_paths = n_global  # light launch = image size (global)
-    eta_vcm = float(n_light_paths) * jnp.pi * radius_sq
+    # etaVCM = (nVM/nVC) pi r^2 — must match the unsharded factors
+    # (vcm.render_iteration / OptixRenderer.cpp:675-696)
+    n_vc = n_light_paths if cfg.vcm_uniform_vertex_sampling else 1
+    eta_vcm = (float(n_light_paths) / n_vc) * jnp.pi * radius_sq
     mis_vm_w = vcm._mis(eta_vcm) if cfg.vcm_use_vm else jnp.zeros(())
     mis_vc_w = vcm._mis(1.0 / eta_vcm) if cfg.vcm_use_vc else jnp.zeros(())
 
@@ -230,7 +233,21 @@ def _vcm_shard(scene, camera, cfg, it, key, radius_sq, eps, px_s, py_s,
     splat_mine = jax.lax.dynamic_slice_in_dim(splat_full, my * n_local,
                                               n_local)
 
-    # camera subpaths pair with this device's local light paths
+    if cfg.vcm_uniform_vertex_sampling:
+        # uniform vertex sampling is BY DEFINITION the global-store regime
+        # (vcm.h:583-601): camera vertices draw uniformly over every stored
+        # vertex. A device-local store with global normalization loses
+        # (D-1)/D of the vertex-connection energy (round-2 verdict, measured
+        # ratio 0.127 ~ 1/8 on an 8-device mesh), so all_gather the store —
+        # device order = global path order, making the sharded draw stream
+        # IDENTICAL to the unsharded one.
+        store = jax.tree_util.tree_map(
+            lambda a: jax.lax.all_gather(a, TILE_AXIS, tiled=True), store)
+
+    # camera subpaths pair with this device's local light paths; global
+    # pairing is pixel i <-> light path i (vcm.h:603-607) and this device
+    # traces exactly the light paths whose global ids equal its camera
+    # lanes, so local row j IS global pair lanes_s[j]
     pair_local = jnp.arange(n_local, dtype=jnp.int32)
     color = vcm.trace_camera_pass(
         scene, camera, cfg, ckey, eps, mis_vc_w, mis_vm_w, store,

@@ -135,20 +135,21 @@ def main():
                 B.LADDER_MIN = old_min
     B.INNER_STEPS = 8
 
-    # leaf-size sweep: leaf row width = 9L+L+1 f32 and the row is gathered
-    # EVERY step for EVERY lane, so small L cuts the dominant traffic;
-    # large L cuts steps. Rebuild the BVH per L.
+    # arity sweep: wider nodes = fewer, wider lockstep steps. Rebuild per A.
     from oppositerenderer_tpu.scene import get_scene_by_name as _g
-    for L in (1, 2, 4, 8):
-        fresh, _ = _g(args.scene.replace("Atrium", "AtriumRaw")
-                      if False else args.scene)
+    for A in (4, 8, 16):
+        fresh, _ = _g(args.scene)
         fresh = fresh.replace(bvh=None)
-        sc2, bvh2 = B.build_scene_bvh(fresh, leaf_size=L)
+        sc2, bvh2 = B.build_scene_bvh(fresh, arity=A)
         f = jax.jit(lambda o, d, b=bvh2, g2=sc2.geometry: B.traverse(
             b, g2, o, d, tmin, tmax)[0])
+        fa = jax.jit(lambda o, d, b=bvh2, g2=sc2.geometry: B.traverse_any(
+            b, g2, None, o, d, tmin, tmax))
         t = med(lambda: f(o, d), args.reps)
-        print(f"leaf_size={L} width={bvh2.leaf_rows.shape[1]} "
-              f"stack={bvh2.max_stack} {t*1e3:9.2f} ms", flush=True)
+        t2 = med(lambda: fa(o, d), args.reps)
+        print(f"arity={A:2d} rows={bvh2.rows.shape} L={bvh2.leaf_size} "
+              f"stack={bvh2.max_stack} closest {t*1e3:9.2f} ms "
+              f"any {t2*1e3:9.2f} ms", flush=True)
 
 
 if __name__ == "__main__":

@@ -57,3 +57,36 @@ def test_photon_depth_histogram(cornell):
     # stored count must equal the histogram's weighted sum
     weighted = int((np.arange(hist.shape[0]) * hist).sum())
     assert weighted == out["photons_stored"]
+
+
+def test_photon_depth_histogram_known_geometry():
+    """Two huge facing diffuse planes, point light between them, depth cap
+    3, RR off. Deposits start at the SECOND diffuse hit (the map is
+    indirect-only, Diffuse.cu:98), so nearly every photon deposits exactly
+    at depths 1 and 2 -> per-path count ~always 2. A depth-major/lane-major
+    reshape mixup smears this spike across {0..3}; the totals in the test
+    above survive any permutation, this distribution does not."""
+    from oppositerenderer_tpu.lights import make_point_light
+    from oppositerenderer_tpu.scene import SceneBuilder
+
+    b = SceneBuilder()
+    mat = b.add_diffuse((0.7, 0.7, 0.7))
+    s = 500.0
+    # floor (normal +y) and ceiling (normal -y), 1 unit apart
+    b.add_triangle((-s, 0, -s), (s, 0, s), (s, 0, -s), mat)
+    b.add_triangle((-s, 0, -s), (-s, 0, s), (s, 0, s), mat)
+    b.add_triangle((-s, 1, -s), (s, 1, -s), (s, 1, s), mat)
+    b.add_triangle((-s, 1, -s), (s, 1, s), (-s, 1, s), mat)
+    b.add_light(make_point_light((10.0,) * 3, (0.0, 0.5, 0.0)))
+    scene = b.build()
+
+    n = 2048
+    cfg = RenderConfig(photons_per_iteration=n, max_photon_trace_depth=3,
+                       photon_rr_start_depth=9)
+    out = debug.photon_depth_histogram(scene, cfg)
+    hist = out["deposits_histogram"]
+    assert hist.sum() == n
+    weighted = int((np.arange(hist.shape[0]) * hist).sum())
+    assert weighted == out["photons_stored"]
+    # the spike: >90% of paths deposit exactly twice (tiny edge leakage)
+    assert hist[2] > 0.9 * n, hist

@@ -26,34 +26,43 @@ def cfg_for(method, **kw):
     return RenderConfig(**base)
 
 
-@pytest.mark.parametrize("method,exchange,unsharded_fn", [
-    (RenderMethod.PATH_TRACING, None,
+@pytest.mark.parametrize("method,kw,unsharded_fn", [
+    (RenderMethod.PATH_TRACING, {},
      lambda s, c, cfg, it, key, r2: (pt.render_iteration(s, c, cfg, it, key),
                                      {})),
-    (RenderMethod.PROGRESSIVE_PHOTON_MAPPING, PhotonExchange.ALL_GATHER,
+    (RenderMethod.PROGRESSIVE_PHOTON_MAPPING,
+     dict(photon_exchange=PhotonExchange.ALL_GATHER,
+          gather_photon_budget=4096),
      lambda s, c, cfg, it, key, r2: ppm.render_iteration(s, c, cfg, it, key,
                                                          r2)),
-    (RenderMethod.PROGRESSIVE_PHOTON_MAPPING, PhotonExchange.ALL_TO_ALL,
+    (RenderMethod.PROGRESSIVE_PHOTON_MAPPING,
+     dict(photon_exchange=PhotonExchange.ALL_TO_ALL,
+          gather_photon_budget=4096),
      lambda s, c, cfg, it, key, r2: ppm.render_iteration(s, c, cfg, it, key,
                                                          r2)),
-    (RenderMethod.VCM_BIDIRECTIONAL_PATH_TRACING, None,
+    (RenderMethod.VCM_BIDIRECTIONAL_PATH_TRACING, {},
+     lambda s, c, cfg, it, key, r2: vcm.render_iteration(s, c, cfg, it, key,
+                                                         r2)),
+    (RenderMethod.VCM_BIDIRECTIONAL_PATH_TRACING,
+     dict(vcm_uniform_vertex_sampling=True),
      lambda s, c, cfg, it, key, r2: vcm.render_iteration(s, c, cfg, it, key,
                                                          r2)),
 ])
-def test_sharded_matches_unsharded(cornell, method, exchange, unsharded_fn):
+def test_sharded_matches_unsharded(cornell, method, kw, unsharded_fn):
     """8-device tile-sharded render vs single-device: the per-lane
     counter-based RNG makes streams identical, so images match to float
-    tolerance. (VCM pairing permutes across shards, so compare means.)
+    tolerance — EXACTLY, for every method.
 
-    The PPM case runs BOTH exchange strategies: all_gather replication is
-    stream-identical; the all-to-all cell-owner partition is sum-identical
-    when no stride subsampling triggers, so the budget is set high enough
-    that every box is fully gathered on both paths.
+    * PPM runs BOTH exchange strategies: all_gather replication is
+      stream-identical; the all-to-all cell-owner partition is
+      sum-identical when no stride subsampling triggers, so the budget is
+      set high enough that every box is fully gathered on both paths.
+    * VCM 1:1 pairing is global-identity under the tile sharding (device-
+      local row j = global pair), so sharded equals unsharded too.
+    * VCM uniform vertex sampling all_gathers the store (the global-store
+      regime) — regression test for the round-2 1/D energy bug.
     """
     scene, cam = cornell
-    kw = {}
-    if exchange is not None:
-        kw = dict(photon_exchange=exchange, gather_photon_budget=4096)
     cfg = cfg_for(method, **kw)
     mesh = make_mesh(8)
     key = make_root_key(3)
@@ -67,12 +76,7 @@ def test_sharded_matches_unsharded(cornell, method, exchange, unsharded_fn):
     a = np.asarray(sharded)
     b = np.asarray(ref)
     assert np.isfinite(a).all()
-    if method == RenderMethod.VCM_BIDIRECTIONAL_PATH_TRACING:
-        # vertex-connection pairing is shard-local (permuted): statistical
-        # agreement only
-        assert a.mean() == pytest.approx(b.mean(), rel=0.1)
-    else:
-        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-4)
 
 
 def test_sharded_output_is_actually_sharded(cornell):
