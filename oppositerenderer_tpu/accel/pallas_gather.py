@@ -25,11 +25,20 @@ only a few grid cells. Per tile:
 Bytes and flops are both orders of magnitude below the XLA gather's
 latency cost: per tile ~30 live rows x 12 KB DMA + 3 small matmuls.
 
-Differentiation: gathers feed radiance estimates whose photon powers are
-treated as constants within an iteration (the reference's estimator);
-the caller wraps the call in a stop-gradient region (ppm integrator uses
-the accumulated power linearly, and parameter gradients flow through the
-BRDF/attenuation factors outside this kernel).
+Differentiation: the kernel is wrapped in a zero-gradient ``custom_vjp``
+(pallas_call has no AD rules), so ``jax.grad`` through a PPM iteration
+works on TPU with the tiled gather enabled — parameter gradients flow
+through the BRDF/attenuation factors OUTSIDE this kernel, while the
+accumulated photon power is treated as a constant of the iteration.
+This drops the photon-power gradient term the XLA gather carries
+(e.g. d(indirect)/d(light emission) via deposited power); select
+``use_pallas_gather=False`` when that term matters (config.py note).
+
+Numerical robustness: d2 = |q-p|^2 expands to q2 + p2 - 2 q.p on the MXU;
+with raw scene coordinates (Cornell ~550) the cross term cancels
+catastrophically against the shrinking PPM radius, so both operands are
+CENTERED on the tile's cell-box midpoint first and the dots run at
+precision=HIGHEST (exact f32; the [256,3] contractions are tiny).
 """
 from __future__ import annotations
 
@@ -148,8 +157,14 @@ def _tile_tables(grid, position: Array, radius, u_row: Array,
     weight = jnp.where(ok, w_row * n_blocks.astype(jnp.float32), 0.0)
     visited = jnp.sum(ln_s, axis=1)                      # per tile
     total = jnp.sum(jnp.where(ok, ln, 0) * w_row.astype(ln.dtype), axis=1)
+    # tile reference point (cell-box center, world coords): the kernel
+    # centers query and photon positions on it before the d2 matmul —
+    # raw coordinates cancel catastrophically against the shrinking
+    # radius (q2 + p2 - 2 q.p loses ~|q|^2 * eps absolute accuracy)
+    ref = grid.origin + (lo_t + hi_t + 1).astype(jnp.float32) \
+        * (0.5 * grid.cell_size)                         # [Tt,3]
     return (start_s.astype(jnp.int32), ln_s.astype(jnp.int32),
-            weight.astype(jnp.float32), visited, total)
+            weight.astype(jnp.float32), ref, visited, total)
 
 
 def _gather_kernel(check_normal: bool, alpha: float, beta: float,
@@ -157,20 +172,32 @@ def _gather_kernel(check_normal: bool, alpha: float, beta: float,
                    qpos_ref, qn_ref, photons_hbm, out_ref,
                    scratch, sem):
     """``itab_ref`` [1,8,128] int32: row 0 = starts, row 1 = lens (slot r
-    at column r); ``wtab_ref`` [1,8,128] f32: row 0 = weights. The row
-    loop is STATICALLY unrolled so every table read uses static indices
-    (Mosaic constrains per-tile blocks to (8,128)-aligned shapes and
-    scalar reads are cheapest at static offsets)."""
+    at column r); ``wtab_ref`` [1,8,128] f32: row 0 = weights, row 1
+    cols 0:3 = tile reference point. The row loop is STATICALLY unrolled
+    so every table read uses static indices (Mosaic constrains per-tile
+    blocks to (8,128)-aligned shapes and scalar reads are cheapest at
+    static offsets)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     out_ref[:] = jnp.zeros_like(out_ref)
-    qp = qpos_ref[:]                                     # [T,3]
+    # center on the tile reference point (see module docstring): build the
+    # [1,3] row from scalars via an iota-select (lowers on Mosaic)
+    ref0, ref1, ref2 = (wtab_ref[0, 1, 0], wtab_ref[0, 1, 1],
+                        wtab_ref[0, 1, 2])
+    col3 = jax.lax.broadcasted_iota(jnp.int32, (1, 3), 1)
+    ref_row = jnp.where(col3 == 0, ref0,
+                        jnp.where(col3 == 1, ref1, ref2))  # [1,3]
+    row3 = jax.lax.broadcasted_iota(jnp.int32, (3, 1), 0)
+    ref_col = jnp.where(row3 == 0, ref0,
+                        jnp.where(row3 == 1, ref1, ref2))  # [3,1]
+    qp = qpos_ref[:] - ref_row                           # [T,3] centered
     q2 = jnp.sum(qp * qp, axis=1, keepdims=True)         # [T,1]
     qn = qn_ref[:]
     r2 = r2_ref[0, 0]
     from ..photon_map import GAUSS_EXP_NEG_BETA
     denom = jnp.float32(1.0 - GAUSS_EXP_NEG_BETA)
+    HI = jax.lax.Precision.HIGHEST
 
     for s in range(ROWS):                                # static unroll
         start = itab_ref[0, 0, s]
@@ -186,17 +213,19 @@ def _gather_kernel(check_normal: bool, alpha: float, beta: float,
                 photons_hbm.at[:, pl.ds(start0, CHUNK_PAD)], scratch, sem)
             dma.start()
             dma.wait()
-            p = scratch[0:3, :]                          # [3,Cp]
+            p = scratch[0:3, :] - ref_col                # [3,Cp] centered
             pw = scratch[3:6, :]
             pd = scratch[6:9, :]
             j = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK_PAD), 1)
             cnt = (j >= shift) & (j < shift + ln)
             p2 = jnp.sum(p * p, axis=0)[None, :]          # [1,Cp]
-            cross = jnp.dot(qp, p, preferred_element_type=jnp.float32)
+            cross = jnp.dot(qp, p, precision=HI,
+                            preferred_element_type=jnp.float32)
             d2 = jnp.maximum(q2 + p2 - 2.0 * cross, 0.0)  # [T,Cp]
             ok = cnt & (d2 <= r2)
             if check_normal:
-                ndp = jnp.dot(qn, pd, preferred_element_type=jnp.float32)
+                ndp = jnp.dot(qn, pd, precision=HI,
+                              preferred_element_type=jnp.float32)
                 ok = ok & (ndp <= 0.0)
             # Jensen gaussian (IndirectRadianceEstimation.cu:60-67)
             expf = jnp.exp(-beta * d2 / (2.0 * r2))
@@ -207,6 +236,30 @@ def _gather_kernel(check_normal: bool, alpha: float, beta: float,
                 preferred_element_type=jnp.float32)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _gather_tiled_core(grid, position, normal, radius, u_rows,
+                       check_normal: bool, interpret: bool, valid=None):
+    return _gather_tiled_impl(grid, position, normal, radius, u_rows,
+                              check_normal, interpret, valid)
+
+
+def _gather_tiled_fwd(grid, position, normal, radius, u_rows,
+                      check_normal, interpret, valid=None):
+    out = _gather_tiled_core(grid, position, normal, radius, u_rows,
+                             check_normal, interpret, valid)
+    return out, (grid, position, normal, radius, u_rows, valid)
+
+
+def _gather_tiled_bwd(check_normal, interpret, res, g):
+    # pallas_call has no AD rules; the gather's photon powers are constants
+    # of the iteration (module docstring) — zero cotangents keep jax.grad
+    # working through the PPM estimator on TPU
+    return jax.tree_util.tree_map(jnp.zeros_like, res)
+
+
+_gather_tiled_core.defvjp(_gather_tiled_fwd, _gather_tiled_bwd)
+
+
 def gather_photons_tiled(grid, position: Array, normal: Array, radius,
                          *, u_rows: Array, check_normal: bool = True,
                          valid: Array | None = None,
@@ -215,7 +268,14 @@ def gather_photons_tiled(grid, position: Array, normal: Array, radius,
     N a multiple of TILE in image order; ``u_rows`` is [N // TILE,
     ROWS + 2] uniforms. Returns (accum_power [N,3], stats dict) matching
     photon_map.gather_photons' contract (same estimator, same Jensen
-    kernel; per-query stats are the owning tile's counts)."""
+    kernel; per-query stats are the owning tile's counts). Differentiation
+    returns zero cotangents (see module docstring)."""
+    return _gather_tiled_core(grid, position, normal, radius, u_rows,
+                              check_normal, interpret, valid)
+
+
+def _gather_tiled_impl(grid, position, normal, radius, u_rows,
+                       check_normal, interpret, valid):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     from ..photon_map import GAUSS_ALPHA, GAUSS_BETA
@@ -224,17 +284,18 @@ def gather_photons_tiled(grid, position: Array, normal: Array, radius,
     assert n % TILE == 0, f"{n} queries not a multiple of {TILE}"
     assert ROWS <= 128
     n_tiles = n // TILE
-    starts, lens, weights, visited, total = _tile_tables(
+    starts, lens, weights, ref, visited, total = _tile_tables(
         grid, position, radius, u_rows, valid=valid)
     packed = _pack_photons(grid)
     r2 = jnp.asarray(jnp.square(radius), jnp.float32).reshape(1, 1)
 
     # (8,128)-aligned per-tile table blocks (Mosaic block constraint):
-    # itab[t,0,r] = start, itab[t,1,r] = len; wtab[t,0,r] = weight
+    # itab[t,0,r] = start, itab[t,1,r] = len; wtab[t,0,r] = weight,
+    # wtab[t,1,0:3] = tile reference point
     itab = jnp.zeros((n_tiles, 8, 128), jnp.int32)
     itab = itab.at[:, 0, :ROWS].set(starts).at[:, 1, :ROWS].set(lens)
     wtab = jnp.zeros((n_tiles, 8, 128), jnp.float32)
-    wtab = wtab.at[:, 0, :ROWS].set(weights)
+    wtab = wtab.at[:, 0, :ROWS].set(weights).at[:, 1, 0:3].set(ref)
 
     kernel = partial(_gather_kernel, check_normal, float(GAUSS_ALPHA),
                      float(GAUSS_BETA))

@@ -142,6 +142,11 @@ class RenderConfig:
     # the scene's intersection backend is pallas, i.e. on TPU, and the
     # pixel count divides the tile size). Same unbiased estimator family
     # as the budgeted XLA gather; different subsampling pattern.
+    # Differentiation note: the tiled gather is a zero-gradient kernel —
+    # jax.grad works through the PPM iteration but the photon-POWER term
+    # of the gradient (e.g. d(indirect)/d(light emission) via deposited
+    # power) is dropped; set use_pallas_gather=False when that term
+    # matters. The XLA gather carries it.
     use_pallas_gather: bool | None = None
     # upper bound on the device time of ONE fused dispatch: the runtime
     # (tunneled TPU here; any production runtime has watchdogs too) kills

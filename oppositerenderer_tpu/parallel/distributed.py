@@ -80,6 +80,7 @@ class IterationScheduler:
     _completed: set = field(default_factory=set)
     _leases: dict = field(default_factory=dict)   # first_iter -> _Lease
     _pending_reassign: list = field(default_factory=list)
+    _worker_stats: dict = field(default_factory=dict)  # worker -> counters
 
     def acquire(self, worker: str, now: float | None = None
                 ) -> tuple[int, tuple[int, ...]]:
@@ -110,9 +111,31 @@ class IterationScheduler:
         be discarded (RenderServerConnection.cpp:185-212 stale drop)."""
         if sequence_number != self.sequence_number or not iterations:
             return False
-        self._leases.pop(iterations[0], None)
+        lease = self._leases.pop(iterations[0], None)
         self._completed.update(iterations)
+        if lease is not None:
+            w = self._worker_stats.setdefault(
+                lease.worker, {"iterations": 0, "packets": 0})
+            w["iterations"] += len(iterations)
+            w["packets"] += 1
         return True
+
+    def worker_stats(self) -> list[dict]:
+        """Per-worker farm table rows (the ConnectedServersTableModel
+        analog, Client/gui_models/ConnectedServersTableModel.cpp): worker
+        name, completed iterations/packets, currently-pending iterations.
+        Feed to viewer.RenderService(farm_stats=scheduler.worker_stats)."""
+        pending: dict[str, int] = {}
+        for lease in self._leases.values():
+            pending[lease.worker] = (pending.get(lease.worker, 0)
+                                     + len(lease.iterations))
+        names = sorted(set(self._worker_stats) | set(pending))
+        return [{"worker": w,
+                 "iterations": self._worker_stats.get(
+                     w, {}).get("iterations", 0),
+                 "packets": self._worker_stats.get(w, {}).get("packets", 0),
+                 "pending": pending.get(w, 0)}
+                for w in names]
 
     def _expire(self, now: float) -> None:
         for first, lease in list(self._leases.items()):

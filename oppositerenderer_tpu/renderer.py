@@ -73,7 +73,11 @@ class Renderer:
 
     # sequence-number bump analog: camera/scene/settings change -> restart
     def restart(self, camera: Camera | None = None,
-                cfg: RenderConfig | None = None) -> None:
+                cfg: RenderConfig | None = None,
+                scene: Scene | None = None) -> None:
+        if scene is not None:   # scene switch (MainWindowBase.cpp:143-161)
+            self.scene = scene
+            self._compiled.clear()
         if camera is not None:
             self.camera = camera
         if cfg is not None:
@@ -241,9 +245,18 @@ class Renderer:
         budget = self.cfg.dispatch_seconds_budget
         t_all = time.perf_counter()
         done = 0
+        if budget > 0 and not sync:
+            # async mode still needs the watchdog clamp (the budget exists
+            # to keep single dispatches under the runtime's kill window):
+            # seed the estimate with synchronous probes — the first may be
+            # compile-tainted (untimed), the second times — then go async
+            while (self._iter_seconds_estimate is None
+                   and done < min(2, iterations)):
+                self.render_next_iteration()
+                done += 1
         while done < iterations:
             n = min(chunk, iterations - done)
-            if budget > 0 and sync and n > 1:
+            if budget > 0 and n > 1:
                 est = self._iter_seconds_estimate
                 if est is None:
                     n = 1          # probe dispatch to learn the rate

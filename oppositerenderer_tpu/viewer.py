@@ -52,9 +52,15 @@ class RenderService:
     def __init__(self, scene, camera: Camera, cfg: RenderConfig,
                  seed: int = 0, preview_every: int = 1,
                  max_iterations: int | None = None,
-                 ppm_initial_radius: float | None = None):
+                 ppm_initial_radius: float | None = None,
+                 farm_stats=None):
+        """``farm_stats``: optional zero-arg callable returning a list of
+        per-worker stat dicts (the ConnectedServersTableModel analog,
+        Client/gui_models/ConnectedServersTableModel.cpp) — e.g.
+        ``IterationScheduler.worker_stats``. Served at ``/workers``."""
         self.renderer = Renderer(scene, camera, cfg, seed=seed,
                                  ppm_initial_radius=ppm_initial_radius)
+        self.farm_stats = farm_stats
         self.preview_every = max(1, preview_every)
         self.max_iterations = max_iterations
         self.running_status = "RUNNING"   # RUNNING / PAUSE / STOPPED
@@ -65,6 +71,7 @@ class RenderService:
         self._frame_png: bytes = b""
         self._frame_iteration = -1
         self._metrics: dict = {}
+        self._last_error: str | None = None
         self._render_seconds = 0.0
         self._thread: threading.Thread | None = None
 
@@ -109,7 +116,19 @@ class RenderService:
             r.restart(cfg=r.cfg.replace(width=int(width), height=int(height)))
         self._bump_and_enqueue(apply)
 
+    # op name -> required argument count (validated BEFORE enqueueing so
+    # bad requests surface as HTTP errors instead of killing the render
+    # thread after the handler already returned 200)
+    _CAMERA_OPS = {"orbit": 2, "pan": 2, "dolly": 1, "fov": 1}
+
     def camera_op(self, op: str, *args: float) -> None:
+        arity = self._CAMERA_OPS.get(op)
+        if arity is None:
+            raise ValueError(f"unknown camera op {op!r}")
+        if len(args) < arity:
+            raise ValueError(f"camera op {op!r} needs {arity} args, "
+                             f"got {len(args)}")
+
         def apply(r: Renderer):
             cam = r.camera
             if op == "orbit":
@@ -118,11 +137,21 @@ class RenderService:
                 cam = cam.translate(args[0], args[1])
             elif op == "dolly":
                 cam = cam.dolly(args[0])
-            elif op == "fov":
-                cam = cam.scale_fov(args[0])
             else:
-                raise ValueError(f"unknown camera op {op!r}")
+                cam = cam.scale_fov(args[0])
             r.restart(camera=cam)
+        self._bump_and_enqueue(apply)
+
+    def set_scene(self, name: str) -> None:
+        """Scene switch by factory name or file path (the MainWindowBase
+        scene menu / file-open analog, Gui/gui/MainWindowBase.cpp:143-161).
+        The load runs on the render thread (the reference loads on its
+        scene-manager thread; here the render loop IS that thread)."""
+        from .scene import get_scene_by_name
+
+        def apply(r: Renderer):
+            scene, cam = get_scene_by_name(name)
+            r.restart(camera=cam, scene=scene)
         self._bump_and_enqueue(apply)
 
     def restart(self) -> None:
@@ -150,7 +179,11 @@ class RenderService:
                 status = self.running_status
                 pending, self._pending = self._pending, []
             for fn in pending:
-                fn(self.renderer)
+                try:
+                    fn(self.renderer)
+                except Exception as e:   # keep the render thread alive
+                    with self._lock:
+                        self._last_error = f"{type(e).__name__}: {e}"
             if status == "STOPPED":
                 return
             if status == "PAUSE" and not pending:
@@ -214,6 +247,9 @@ class RenderService:
                   "light_vertices_stored"):
             if k in m:
                 out[k] = float(m[k])
+        with self._lock:
+            if self._last_error is not None:
+                out["last_error"] = self._last_error
         if cfg.render_method != RenderMethod.PATH_TRACING:
             out["photons_per_iteration"] = cfg.photons_per_iteration
             out["photons_emitted"] = (cfg.photons_per_iteration
@@ -252,7 +288,12 @@ gamma <input id=gamma size=4 value=2.2
  onchange="setq('gamma',this.value)">
 r0 <input id=radius size=6 onchange="setq('ppm_radius',this.value)">
 </div>
+<div>scene <input id=scene size=24
+ onchange="setq('scene',this.value)"
+ placeholder="Cornell / CornellSmall:... / path.dae"></div>
 <table id=stats></table>
+<h4 id=wtitle style="display:none">workers</h4>
+<table id=workers></table>
 </div></div><script>
 async function tick(){
  const s=await (await fetch('/stats')).json();
@@ -260,6 +301,15 @@ async function tick(){
   .map(([k,v])=>`<tr><td>${k}</td><td>${v}</td></tr>`).join('');
  document.getElementById('frame').src='/frame.png?i='+s.iterations
   +'&seq='+s.sequence_number;
+ const w=await (await fetch('/workers')).json();
+ if(w.length){
+  document.getElementById('wtitle').style.display='';
+  const cols=Object.keys(w[0]);
+  document.getElementById('workers').innerHTML=
+   '<tr>'+cols.map(c=>`<td><b>${c}</b></td>`).join('')+'</tr>'
+   +w.map(r=>'<tr>'+cols.map(c=>`<td>${r[c]}</td>`).join('')+'</tr>')
+   .join('');
+ }
 }
 function setq(k,v){fetch('/set?'+k+'='+encodeURIComponent(v));}
 function cam(op,...a){fetch('/camera?op='+op+a.map(x=>'&arg='+x).join(''));}
@@ -312,10 +362,15 @@ class _Handler(BaseHTTPRequestHandler):
                 svc.set_gamma(float(q["gamma"]))
             if "ppm_radius" in q:
                 svc.set_ppm_radius(float(q["ppm_radius"]))
+            if "scene" in q:
+                svc.set_scene(q["scene"])
             if "width" in q or "height" in q:
                 svc.set_size(int(q.get("width", q.get("height"))),
                              int(q.get("height", q.get("width"))))
             self._send(200, b"ok", "text/plain")
+        elif url.path == "/workers":
+            rows = svc.farm_stats() if svc.farm_stats is not None else []
+            self._send(200, json.dumps(rows).encode(), "application/json")
         elif url.path == "/camera":
             args = [float(v) for v in
                     parse_qs(url.query).get("arg", [])]

@@ -69,6 +69,68 @@ def main():
     np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-4)
     print("PASS PT iteration pallas==jnp (compiled), mean",
           float(a.mean()))
+
+    # 4. COMPILED (Mosaic) tile gather vs the XLA reference gather in the
+    # no-subsampling regime (test_pallas_gather's construction): the CI
+    # run only ever exercises interpret mode, so this is the one place the
+    # actual TPU lowering of the default PPM gather path is asserted.
+    from oppositerenderer_tpu.accel.pallas_gather import (
+        ROWS, TILE, gather_photons_tiled)
+    from oppositerenderer_tpu.photon_map import (
+        PhotonBatch, build_photon_grid, gather_photons,
+        min_cell_size_for_window)
+    rng = np.random.default_rng(0)
+    n_photons, n_queries, radius = 4096, TILE * 2, jnp.float32(0.12)
+    # scale coordinates up to Cornell range to exercise the centered-d2
+    # robustness fix (raw-coordinate d2 cancels at ~550-unit coords)
+    scale = 550.0
+    ppos = rng.uniform(0, 1, (n_photons, 3)).astype(np.float32) * scale
+    pdir = rng.standard_normal((n_photons, 3)).astype(np.float32)
+    pdir /= np.linalg.norm(pdir, axis=1, keepdims=True)
+    photons = PhotonBatch(
+        position=jnp.asarray(ppos),
+        power=jnp.asarray(rng.uniform(0, 1, (n_photons, 3)).astype(
+            np.float32)),
+        direction=jnp.asarray(pdir),
+        valid=jnp.asarray(rng.uniform(size=n_photons) < 0.9))
+    radius = radius * scale
+    grid = build_photon_grid(photons, 16,
+                             min_cell_size=min_cell_size_for_window(
+                                 radius, 4))
+    n_tiles = n_queries // TILE
+    centers = rng.uniform(0.25, 0.75, (n_tiles, 3)).astype(np.float32)
+    jitter = (0.02 * rng.standard_normal((n_tiles, TILE, 3))).astype(
+        np.float32)
+    qpos = jnp.asarray(np.clip(centers[:, None, :] + jitter, 0, 1)
+                       .reshape(-1, 3) * scale)
+    qn = rng.standard_normal((n_queries, 3)).astype(np.float32)
+    qn = jnp.asarray(qn / np.linalg.norm(qn, axis=1, keepdims=True))
+    u = jnp.zeros((n_tiles, ROWS + 2))
+    acc = jax.jit(lambda q, n2: gather_photons_tiled(
+        grid, q, n2, radius, u_rows=u, interpret=False)[0])(qpos, qn)
+    ref, _ = gather_photons(grid, qpos, qn, radius, max_cells_per_axis=4,
+                            budget_total=4096)
+    np.testing.assert_allclose(np.asarray(acc), np.asarray(ref),
+                               rtol=2e-4, atol=1e-4)
+    print("PASS tile gather Mosaic==XLA (compiled, 550-unit coords)")
+
+    # 5. full PPM iteration with the compiled tile gather vs the XLA
+    # gather path (different subsampling pattern -> statistical agreement)
+    from oppositerenderer_tpu.integrators import ppm
+    cfg_ppm = RenderConfig(width=W, height=H,
+                           photons_per_iteration=1 << 16,
+                           photon_grid_resolution=16)
+    r2 = jnp.float32(0.01)
+    img_t, _ = jax.jit(lambda it: ppm.render_iteration(
+        s_p, camera,
+        cfg_ppm.replace(use_pallas_gather=True), it, key, r2))(jnp.int32(0))
+    img_x, _ = jax.jit(lambda it: ppm.render_iteration(
+        s_j, camera, cfg_ppm.replace(use_pallas_gather=False), it, key,
+        r2))(jnp.int32(0))
+    mt, mx = float(jnp.mean(img_t)), float(jnp.mean(img_x))
+    assert np.isfinite(np.asarray(img_t)).all()
+    assert abs(mt - mx) < 0.05 * max(mx, 1e-6), (mt, mx)
+    print(f"PASS PPM iteration tiled-gather mean {mt:.4f} vs XLA {mx:.4f}")
     print("ALL TPU SELF-CHECKS PASS on", jax.devices()[0])
 
 

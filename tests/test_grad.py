@@ -96,6 +96,49 @@ def test_ppm_grad_kd_matches_fd(cornell):
     assert float(g) > 0
 
 
+def test_ppm_grad_through_tiled_gather(cornell):
+    """jax.grad through a PPM iteration with the Pallas tile gather enabled
+    (interpret mode on CPU) must work — the gather is a zero-gradient
+    custom_vjp, so the kd gradient still flows through the BRDF/attenuation
+    factors outside the kernel and stays close to the XLA-gather gradient
+    (kd enters the indirect estimate multiplicatively outside the gather;
+    only the photon-POWER term differs, which kd also feeds via deposited
+    power — hence approx, not exact)."""
+    scene, cam = cornell
+    cfg = RenderConfig(width=32, height=32,
+                       render_method=RenderMethod.PROGRESSIVE_PHOTON_MAPPING,
+                       photons_per_iteration=1 << 12,
+                       photon_grid_resolution=16,
+                       photon_rr_start_depth=9, max_photon_trace_depth=4,
+                       use_pallas_gather=True)
+
+    def loss(kd_scale):
+        s = diff.set_material_param(scene, "kd", 0,
+                                    scene.materials.kd[0] * kd_scale)
+        img, _ = ppm.render_iteration(s, cam, cfg, jnp.int32(0), KEY,
+                                      jnp.float32(0.003))
+        return jnp.mean(img)
+
+    g = jax.grad(loss)(1.0)
+    assert np.isfinite(float(g)) and float(g) > 0
+    g_ref = jax.grad(
+        lambda sc: loss_with_cfg(scene, cam, cfg.replace(
+            use_pallas_gather=False), sc))(1.0)
+    # the dropped photon-power term is positive (more kd -> more deposited
+    # power -> brighter indirect), so the tiled gradient sits strictly
+    # between 0 and the full XLA-gather gradient (measured ~60% of it)
+    assert 0.0 < float(g) < float(g_ref), (g, g_ref)
+    assert float(g) > 0.25 * float(g_ref), (g, g_ref)
+
+
+def loss_with_cfg(scene, cam, cfg, kd_scale):
+    s = diff.set_material_param(scene, "kd", 0,
+                                scene.materials.kd[0] * kd_scale)
+    img, _ = ppm.render_iteration(s, cam, cfg, jnp.int32(0), KEY,
+                                  jnp.float32(0.003))
+    return jnp.mean(img)
+
+
 def test_vcm_grad_kd_matches_fd(cornell):
     scene, cam = cornell
     # pin RR continuation to 1 so the FD oracle is well-conditioned (live

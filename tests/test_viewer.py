@@ -150,3 +150,44 @@ def test_unknown_routes(viewer):
     svc, base = viewer
     assert _get(base, "/nope")[0] == 404
     assert _get(base, "/control?cmd=bogus")[0] == 400
+
+
+def test_bad_camera_op_is_http_error_and_loop_survives(viewer):
+    svc, base = viewer
+    # invalid op / missing args are rejected at the handler (500), never
+    # enqueued — the render loop must keep iterating afterwards
+    assert _get(base, "/camera?op=bogus")[0] == 500
+    assert _get(base, "/camera?op=orbit&arg=0.1")[0] == 500  # arity 2
+    it = _stats(base)["iterations"]
+    assert _wait_for(lambda: _stats(base)["iterations"] > it)
+
+
+def test_scene_switch(viewer):
+    svc, base = viewer
+    seq0 = _stats(base)["sequence_number"]
+    status, _, _ = _get(base, "/set?scene=Cornell")
+    assert status == 200
+    assert _wait_for(lambda: _stats(base)["scene"] == "Cornell"
+                     and _stats(base)["sequence_number"] > seq0)
+    assert _wait_for(lambda: _stats(base)["iterations"] >= 1)
+    # loop survives a bad scene name too (error surfaces in stats)
+    _get(base, "/set?scene=NoSuchScene")
+    assert _wait_for(lambda: "last_error" in _stats(base))
+    assert _wait_for(lambda: _stats(base)["iterations"] >= 1)
+
+
+def test_workers_endpoint(viewer):
+    svc, base = viewer
+    # no farm attached: empty list
+    assert json.loads(_get(base, "/workers")[1]) == []
+    from oppositerenderer_tpu.parallel.distributed import IterationScheduler
+    sched = IterationScheduler(total_iterations=8, packet_size=2)
+    seq, its = sched.acquire("w0")
+    sched.complete(seq, its)
+    seq, its2 = sched.acquire("w1")
+    svc.farm_stats = sched.worker_stats
+    rows = json.loads(_get(base, "/workers")[1])
+    by = {r["worker"]: r for r in rows}
+    assert by["w0"]["iterations"] == 2 and by["w0"]["packets"] == 1
+    assert by["w1"]["pending"] == 2
+    svc.farm_stats = None
