@@ -508,6 +508,12 @@ def _run_until(bvh: Bvh, st, any_hit: bool, cap: int):
             return (cur, cmask, cur_ok, stack, sp, t_best, i_best, u_best,
                     v_best, found)
 
+        # NOTE on loop form: scripts/gather_exp.py measured fori_loop
+        # adding ~8 ns/lane/iter over a Python-unrolled gather loop, but
+        # unrolling THIS body changed nothing on-chip (711 -> 717 ms on
+        # the 1M-ray Atrium case) — the traversal body hides the loop
+        # overhead behind its own dependency chain. Keep fori_loop: the
+        # unrolled form only bloated compile time.
         out = jax.lax.fori_loop(
             0, INNER_STEPS, step,
             (st["cur"], st["cmask"], st["cur_ok"], st["stack"], st["sp"],

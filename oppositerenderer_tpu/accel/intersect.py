@@ -243,7 +243,7 @@ def _chunked(fn, chunk_size: int, n_out_leaves_hint=None):
 
 
 def _closest_hit_pallas(scene: Scene, o, d, tmin, tmax, interpret: bool):
-    from .pallas_intersect import tri9_from_geometry
+    from .pallas_intersect_t import tri9_from_geometry
     from .pallas_intersect_t import closest_hit_tris
     tri9 = tri9_from_geometry(scene.geometry)
     t, idx, bu, bv = closest_hit_tris(o, d, tmin, tmax, tri9,
@@ -256,7 +256,7 @@ def _closest_hit_pallas(scene: Scene, o, d, tmin, tmax, interpret: bool):
 
 
 def _occluded_pallas(scene: Scene, o, d, tmin, tmax, interpret: bool):
-    from .pallas_intersect import tri9_from_geometry
+    from .pallas_intersect_t import tri9_from_geometry
     from .pallas_intersect_t import occluded_tris
     g = scene.geometry
     tri9 = tri9_from_geometry(g)

@@ -1,6 +1,6 @@
 """Transposed-layout Pallas intersection kernels: rays on LANES.
 
-The first kernel layout (pallas_intersect.py) puts triangles on the 128-wide
+The round-1 kernel layout (removed in round 3) put triangles on the 128-wide
 lane dimension — fine for big scenes, but a 34-triangle Cornell pads lanes
 3.8x. Here the layout is flipped: rays occupy lanes (ray counts are always
 large and 128-aligned after padding), triangles occupy sublanes (pad to 8),
@@ -201,3 +201,9 @@ def occluded_tris(o, d, tmin, tmax, tri9, occluder_mask, *, interpret=False):
         interpret=interpret,
     )(rays, triT, maskT)
     return occ[0, :n] > 0.0
+
+
+def tri9_from_geometry(geom) -> jax.Array:
+    """[9, T] component-row layout (v0, e1, e2) for the kernels."""
+    return jnp.concatenate([geom.tri_v0.T, geom.tri_e1.T, geom.tri_e2.T],
+                           axis=0)

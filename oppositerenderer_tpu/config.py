@@ -91,7 +91,14 @@ class RenderConfig:
     # --- VCM (reference OptixRenderer.cpp:53, vcm/*) ---
     vcm_max_path_length: int = 10                 # VCM_MAX_PATH_LENGTH
     vcm_use_vc: bool = True                       # vertex connection on
-    vcm_use_vm: bool = False                      # merging scaffolded-off, like ref
+    # Vertex merging. The reference scaffolds VM but never finishes it
+    # (OptixRenderer.cpp:300-301); here it is a REAL merging pass
+    # (integrators/vcm.build_vertex_grid + _merge_vertices), off by default
+    # to match the reference's estimator.
+    vcm_use_vm: bool = False
+    # light vertices gathered per camera vertex per merge round (over-full
+    # boxes are stride-subsampled with reweighting, unbiased)
+    vcm_vm_budget: int = 64
     # ablation switches (reference vcm.h:34-37 compile-time defines)
     vcm_connect_vertices: bool = True             # !CONNECT_VERTICES_DISABLED
     vcm_connect_camera_t1: bool = True            # !CONNECT_CAMERA_T1_DISABLED

@@ -1,4 +1,4 @@
-"""VCM-style bidirectional path tracing (vertex connection; merging off).
+"""Full VCM bidirectional path tracing (vertex connection AND merging).
 
 Implements the reference's VCM estimator family exactly — the recursive MIS
 quantities dVCM/dVC/dVM per the "Implementing VCM" tech report as coded in
@@ -11,9 +11,15 @@ and the four connection techniques in ``renderer/vcm/vcm.h``:
 * vertex connection camera-vertex x light-vertex (connectVertices, :315-400)
 
 with the balance heuristic (vcm_shared.h:12-16) and the host-side factors of
-OptixRenderer.cpp:675-696 (etaVCM, misVc/VmWeightFactor; VM merging is
-scaffolded-off exactly like the reference, so misVmWeightFactor=0 unless
-enabled).
+OptixRenderer.cpp:675-696 (etaVCM, misVc/VmWeightFactor).
+
+Vertex merging (VM) goes BEYOND the reference: the reference scaffolds VM
+(the mis_vm terms, the vmNormalization constant) but disables it
+(OptixRenderer.cpp:300-301); here ``cfg.vcm_use_vm`` enables a real merging
+pass (:class:`VertexGrid` + :func:`_merge_vertices`, per the tech report /
+SmallVCM), validated against PPM in the merge-only limit and against PT in
+full-VCM mode (tests/test_vcm_vm.py). Default off, matching the reference's
+estimator.
 
 TPU re-design vs the reference:
 * Light vertices live in a dense [n_paths, max_len-1] tensor with validity
@@ -74,6 +80,7 @@ class LightVertexStore:
     ng: Array           # [P,V,3]
     wo: Array           # [P,V,3] dir back along the incoming ray
     valid: Array        # [P,V] bool
+    depth: Array        # [P,V] int32: light path length at the vertex
 
 
 def _cont_prob(bsdf: BSDF, cfg: RenderConfig):
@@ -145,7 +152,8 @@ def trace_light_pass(scene: Scene, camera: Camera, cfg: RenderConfig,
         ns=jnp.zeros((n_paths, max_verts, 3)),
         ng=jnp.zeros((n_paths, max_verts, 3)),
         wo=jnp.zeros((n_paths, max_verts, 3)),
-        valid=jnp.zeros((n_paths, max_verts), jnp.bool_))
+        valid=jnp.zeros((n_paths, max_verts), jnp.bool_),
+        depth=jnp.zeros((n_paths, max_verts), jnp.int32))
     n_stored = jnp.zeros((n_paths,), jnp.int32)
 
     def light_step(carry, depth1):  # depth1 = depth after ++
@@ -173,11 +181,16 @@ def trace_light_pass(scene: Scene, camera: Camera, cfg: RenderConfig,
         storeable = live & ~is_spec
 
         # --- store vertex (vcm.h:256-291); OOB slot drops the write ------
+        # one-hot masked writes instead of .at[pidx, slot].set: per-lane
+        # minor-axis scatters serialize on TPU (same measurement as
+        # accel/bvh._oh_write — ~2 ms per touch at 262k lanes), and this
+        # writes 10 buffers x max_verts(~9) slots per depth
         slot = jnp.where(storeable, n_stored, max_verts)
-        pidx = jnp.arange(n_paths)
+        oh = jnp.arange(max_verts)[None, :] == slot[:, None]   # [P,V]
 
         def put(buf, val):
-            return buf.at[pidx, slot].set(val, mode="drop")
+            m = oh.reshape(oh.shape + (1,) * (buf.ndim - 2))
+            return jnp.where(m, val[:, None, ...], buf)
 
         store = LightVertexStore(
             position=put(store.position, hit.position),
@@ -186,7 +199,9 @@ def trace_light_pass(scene: Scene, camera: Camera, cfg: RenderConfig,
             dVM=put(store.dVM, dVM), mat=put(store.mat, hit.mat),
             ns=put(store.ns, n_eff), ng=put(store.ng, bsdf.ng),
             wo=put(store.wo, -d),
-            valid=put(store.valid, jnp.ones((n_paths,), jnp.bool_)))
+            valid=put(store.valid, jnp.ones((n_paths,), jnp.bool_)),
+            depth=put(store.depth,
+                      jnp.full((n_paths,), depth1, jnp.int32)))
         n_stored = n_stored + storeable.astype(jnp.int32)
 
         # --- t=1: connect to camera (vcm.h:65-161) ------------------------
@@ -306,16 +321,157 @@ def _sample_scattering(skey: LaneSampler, bsdf: BSDF, hitpoint, throughput,
 
 
 # ---------------------------------------------------------------------------
+# vertex merging (VM) — the half of VCM the reference scaffolds but never
+# finishes (OptixRenderer.cpp:300-301 "vmNormalization ... merging disabled";
+# vcm.h computes mis_vm terms that are dead with the factor pinned to 0).
+# Implemented per the "Implementing VCM" tech report (SmallVCM VertexCM
+# merge): camera vertex x gathers light vertices y with |x-y| <= r and
+# accumulates misWeight * f_cam(y.wo) * y.throughput / (pi r^2 nLightPaths).
+# The spatial structure is the SAME sorted-uniform-grid machinery as the
+# photon map (photon_map.gather_cell_indices).
+# ---------------------------------------------------------------------------
+
+@struct.dataclass
+class VertexGrid:
+    """Sorted uniform grid over the flattened light-vertex store."""
+
+    position: Array    # [M,3]
+    wo: Array          # [M,3] world dir back along the vertex's incoming ray
+    throughput: Array  # [M,3]
+    dVCM: Array        # [M]
+    dVM: Array         # [M]
+    cont: Array        # [M] RR continuation prob of the vertex's BSDF
+    depth: Array       # [M] light path length at the vertex (float32)
+    offsets: Array     # [R^3+1] int32
+    origin: Array      # [3]
+    cell_size: Array   # []
+    resolution: int = struct.field(pytree_node=False)
+
+
+def build_vertex_grid(scene: Scene, cfg: RenderConfig,
+                      store: LightVertexStore, radius: Array) -> VertexGrid:
+    """Flatten the store and sort by grid cell (build_photon_grid pattern,
+    OptixRenderer_SpatialHash.cu:209-283 applied to light vertices)."""
+    from ..photon_map import min_cell_size_for_window, photon_grid_geometry
+    from ..photon_map import PhotonBatch
+
+    flat = jax.tree_util.tree_map(
+        lambda a: a.reshape((-1,) + a.shape[2:]), store)
+    res = cfg.photon_grid_resolution
+    mcs = min_cell_size_for_window(radius, 4)
+    origin, cell_size = photon_grid_geometry(
+        PhotonBatch(position=flat.position, power=flat.throughput,
+                    direction=flat.wo, valid=flat.valid), res,
+        min_cell_size=mcs)
+
+    # per-vertex reverse continuation prob (SmallVCM: aLightVertex.mBsdf
+    # .ContinuationProb() scales the camera->light reverse pdf in the merge
+    # MIS weight) — computed once here instead of rebuilding BSDFs per
+    # gathered row
+    lv_bsdf = _rebuild_bsdf(scene, flat.mat, flat.ns, flat.ng, flat.wo)
+    cont = _cont_prob(lv_bsdf, cfg)
+
+    from ..photon_map import cell_coords, cell_index_1d
+    n_cells = res ** 3
+    cells = cell_index_1d(cell_coords(flat.position, origin, cell_size, res),
+                          res)
+    cells = jnp.where(flat.valid, cells, n_cells)
+    p, w, t = flat.position, flat.wo, flat.throughput
+    out = jax.lax.sort(
+        (cells, p[:, 0], p[:, 1], p[:, 2], w[:, 0], w[:, 1], w[:, 2],
+         t[:, 0], t[:, 1], t[:, 2], flat.dVCM, flat.dVM, cont,
+         flat.depth.astype(jnp.float32)), num_keys=1)
+    offsets = jnp.searchsorted(out[0],
+                               jnp.arange(n_cells + 1, dtype=cells.dtype),
+                               method="sort")
+    return VertexGrid(
+        position=jnp.stack(out[1:4], axis=-1),
+        wo=jnp.stack(out[4:7], axis=-1),
+        throughput=jnp.stack(out[7:10], axis=-1),
+        dVCM=out[10], dVM=out[11], cont=out[12], depth=out[13],
+        offsets=offsets.astype(jnp.int32), origin=origin,
+        cell_size=cell_size, resolution=res)
+
+
+def _merge_vertices(scene: Scene, cfg: RenderConfig, cam_bsdf: BSDF,
+                    cam_pos, cam_thr, cam_dVCM, cam_dVM, active,
+                    vgrid: VertexGrid, radius_sq, mis_vc_w, n_light_paths,
+                    u_stride, depth1):
+    """One camera vertex x light-vertex-grid merge round.
+
+    MIS weights per SmallVCM's VertexCM::RangeQuery::Process:
+      wLight  = lv.dVCM * misVcWeightFactor + lv.dVM * Mis(cameraDirPdfW)
+      wCamera = cam.dVCM * misVcWeightFactor + cam.dVM * Mis(cameraRevPdfW)
+    with the dir pdf scaled by the camera continuation prob and the rev pdf
+    by the light vertex's. Kernel: the repo's Jensen gaussian (consistent
+    with the PPM gather; SmallVCM uses the constant kernel — documented
+    deviation), normalized by 1/(pi r^2 nLightPaths) like
+    OptixRenderer.cpp:300's vmNormalization.
+    Returns the merged contribution [n,3] (already multiplied by cam_thr).
+    """
+    from ..photon_map import gather_cell_indices, gaussian_kernel_weight
+
+    radius = jnp.sqrt(radius_sq)
+    gidx, gok, stride, _total = gather_cell_indices(
+        vgrid.offsets, vgrid.origin, vgrid.cell_size, vgrid.resolution,
+        cam_pos, radius, max_cells_per_axis=4,
+        budget_total=cfg.vcm_vm_budget, u_stride=u_stride)
+
+    ppos = vgrid.position[gidx]       # [N,B,3]
+    pwo = vgrid.wo[gidx]
+    pthr = vgrid.throughput[gidx]
+    pdvcm = vgrid.dVCM[gidx]          # [N,B]
+    pdvm = vgrid.dVM[gidx]
+    pcont = vgrid.cont[gidx]
+    pdep = vgrid.depth[gidx]
+
+    diff = cam_pos[:, None, :] - ppos
+    d2 = dot(diff, diff)
+    ok = (gok & (d2 <= radius_sq) & active[:, None]
+          & (pdep + depth1 <= cfg.vcm_max_path_length))
+
+    # camera BSDF evaluated at the light vertex's incoming direction,
+    # broadcast over the gather axis
+    bsdf_b = jax.tree_util.tree_map(lambda a: a[:, None, ...], cam_bsdf)
+    f, _cos, dpdf, rpdf = bsdf_b.f(pwo)
+    # SmallVCM: the dir pdf (continuing the LIGHT path through x) is scaled
+    # by the light vertex's continuation prob; the rev pdf (camera path
+    # continuing) by the camera BSDF's
+    cam_cont = _cont_prob(cam_bsdf, cfg)
+    dpdf = dpdf * pcont
+    rpdf = rpdf * cam_cont[:, None]
+
+    w_light = pdvcm * mis_vc_w + pdvm * _mis(dpdf)
+    w_camera = (cam_dVCM * mis_vc_w)[:, None] + cam_dVM[:, None] * _mis(rpdf)
+    mis_weight = jax.lax.stop_gradient(1.0 / (w_light + 1.0 + w_camera))
+
+    kw = gaussian_kernel_weight(d2, radius_sq)
+    acc = jnp.sum(jnp.where(ok[..., None],
+                            f * pthr * (mis_weight * kw)[..., None], 0.0),
+                  axis=-2)
+    acc = acc * stride[:, None].astype(jnp.float32)   # subsample reweight
+    norm = 1.0 / (jnp.pi * radius_sq * n_light_paths)
+    return cam_thr * acc * norm
+
+
+# ---------------------------------------------------------------------------
 # camera pass
 # ---------------------------------------------------------------------------
 
 def trace_camera_pass(scene: Scene, camera: Camera, cfg: RenderConfig,
                       key: Array, eps, mis_vc_w: Array, mis_vm_w: Array,
                       store: LightVertexStore, n_light_paths: int,
-                      px: Array, py: Array, lane_ids: Array, pair: Array):
+                      px: Array, py: Array, lane_ids: Array, pair: Array,
+                      vgrid: VertexGrid | None = None,
+                      radius_sq: Array | None = None):
     """``pair`` indexes rows of ``store`` (1:1 pairing, vcm.h:603-607);
     under sharding it is the device-local pairing, which permutes but
-    preserves the estimator. ``n_light_paths`` is the global count."""
+    preserves the estimator. ``n_light_paths`` is the global count.
+    ``vgrid``/``radius_sq`` enable the vertex-merging rounds (required when
+    cfg.vcm_use_vm)."""
+    if cfg.vcm_use_vm and vgrid is None:
+        raise ValueError("cfg.vcm_use_vm requires a VertexGrid "
+                         "(build_vertex_grid) and radius_sq")
     W, H = cfg.width, cfg.height
     n = px.shape[0]
     s = LaneSampler(key, lane_ids, cheap=cfg.use_cheap_random)
@@ -379,6 +535,19 @@ def trace_camera_pass(scene: Scene, camera: Camera, cfg: RenderConfig,
 
         bsdf, is_emitter, _ = bsdf_at_hit(scene, hit, d)
         n_eff = bsdf.frame.n
+        cos_in = dot(n_eff, -d)
+
+        # updateMisTermsOnHit (mis.h:109-123) — BEFORE any technique runs.
+        # SmallVCM updates dVCM/dVC/dVM immediately on hit; the s0 weight
+        # at depth>=2 must see THIS segment's t^2/cos factor. Found by the
+        # analytic polygon-light test (tests/test_analytic.py): the stale
+        # dVCM inflated s0's mis weight ~3.7x on that scene -> +5% image
+        # energy with every per-technique estimator individually exact.
+        upd = live & (cos_in >= EPS_COSINE)
+        dVCM = jnp.where(upd, dVCM * _mis(jnp.square(hit.t))
+                         / _mis(cos_in), dVCM)
+        dVC = jnp.where(upd, dVC / _mis(cos_in), dVC)
+        dVM = jnp.where(upd, dVM / _mis(cos_in), dVM)
 
         # --- s=0: emitter hit (DiffuseEmitter.cu:95-119 + vcm.h:493-522) --
         em = live & is_emitter
@@ -399,14 +568,7 @@ def trace_camera_pass(scene: Scene, camera: Camera, cfg: RenderConfig,
             color = color + jnp.where((em & front)[:, None], contrib, 0.0)
         alive_after_em = live & ~em  # emitter terminates the path
 
-        cos_in = dot(n_eff, -d)
         live2 = alive_after_em & (cos_in >= EPS_COSINE)
-
-        # updateMisTermsOnHit
-        dVCM = jnp.where(live2, dVCM * _mis(jnp.square(hit.t))
-                         / _mis(cos_in), dVCM)
-        dVC = jnp.where(live2, dVC / _mis(cos_in), dVC)
-        dVM = jnp.where(live2, dVM / _mis(cos_in), dVM)
 
         is_spec = bsdf.is_specular()
         connectable = live2 & ~is_spec
@@ -478,6 +640,13 @@ def trace_camera_pass(scene: Scene, camera: Camera, cfg: RenderConfig,
             store_scan = jax.tree_util.tree_map(
                 lambda a: jnp.moveaxis(a, 1, 0), store_p)
             color, _ = jax.lax.scan(vc_step, color, store_scan)
+
+        # --- vertex merging (tech report sec. 5; SmallVCM merge) ----------
+        if cfg.vcm_use_vm:
+            color = color + _merge_vertices(
+                scene, cfg, bsdf, hit.position, throughput, dVCM, dVM,
+                connectable, vgrid, radius_sq, mis_vc_w, n_light_paths,
+                skey.next1(), depth1)
 
         # --- terminate if path too long, else scatter ---------------------
         can_continue = live2 & (depth1 < cfg.vcm_max_path_length)
@@ -569,11 +738,17 @@ def render_iteration(scene: Scene, camera: Camera, cfg: RenderConfig,
         store, splat, lstats = trace_light_pass(
             scene, camera, cfg, lkey, eps, mis_vc_w, mis_vm_w, path_lanes,
             n_light_paths)
+    vgrid = None
+    if cfg.vcm_use_vm:
+        with pass_scope("vcm_vertex_grid"):
+            vgrid = build_vertex_grid(scene, cfg, store,
+                                      jnp.sqrt(radius_sq))
     px, py = pixel_coords(cfg.width, cfg.height)
     pixel_lanes = jnp.arange(n, dtype=jnp.int32)
     pair = pixel_lanes % n_light_paths
     with pass_scope("vcm_camera_pass"):
         color = trace_camera_pass(
             scene, camera, cfg, ckey, eps, mis_vc_w, mis_vm_w, store,
-            n_light_paths, px, py, pixel_lanes, pair)
+            n_light_paths, px, py, pixel_lanes, pair, vgrid=vgrid,
+            radius_sq=radius_sq)
     return color.reshape(cfg.height, cfg.width, 3) + splat, lstats

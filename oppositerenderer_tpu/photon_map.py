@@ -161,6 +161,72 @@ def gaussian_kernel_weight(distance2: Array, radius2: Array) -> Array:
         / (1.0 - GAUSS_EXP_NEG_BETA))
 
 
+def gather_cell_indices(offsets: Array, origin: Array, cell_size: Array,
+                        resolution: int, position: Array, radius: Array, *,
+                        max_cells_per_axis: int = 4, budget_total: int = 256,
+                        u_stride: Array | None = None):
+    """Shared interval-walk of the sorted uniform grid: row indices of the
+    (strided) grid entries inside the [p-r, p+r] box of each query.
+
+    Follows IndirectRadianceEstimation.cu:85-128: cells in the box, each
+    (y,z) row's x-range scanned as one contiguous interval; the intervals
+    are flattened into one fixed-budget gather index block, with unbiased
+    stride subsampling when a box holds more than ``budget_total`` entries
+    (see :func:`gather_photons`). Used by the photon gather AND the VCM
+    vertex-merging gather.
+
+    Returns (gidx [N,B] int32, gok [N,B] bool, stride [N] int32, total [N]).
+    """
+    res = resolution
+    r = jnp.broadcast_to(radius, position.shape[:-1])
+    npos = position - origin
+    inv_cs = 1.0 / cell_size
+    lo = jnp.clip(jnp.floor((npos - r[..., None]) * inv_cs), 0,
+                  res - 1).astype(jnp.int32)
+    hi = jnp.clip(jnp.floor((npos + r[..., None]) * inv_cs), 0,
+                  res - 1).astype(jnp.int32)
+
+    # phase 1: per-lane (start, len) interval per (y,z) row of the box
+    starts, lens = [], []
+    for dz in range(max_cells_per_axis):
+        z = lo[..., 2] + dz
+        z_ok = z <= hi[..., 2]
+        for dy in range(max_cells_per_axis):
+            y = lo[..., 1] + dy
+            ok = z_ok & (y <= hi[..., 1])
+            cfrom = (lo[..., 0] + y * res + z * res * res)
+            cto = (hi[..., 0] + y * res + z * res * res)
+            start = offsets[jnp.where(ok, cfrom, 0)]
+            end = offsets[jnp.where(ok, cto, 0) + 1]
+            starts.append(jnp.where(ok, start, 0))
+            lens.append(jnp.where(ok, end - start, 0))
+    starts = jnp.stack(starts, axis=-1)           # [N, R]
+    lens = jnp.stack(lens, axis=-1)               # [N, R]
+    prefix = jnp.cumsum(lens, axis=-1) - lens     # exclusive [N, R]
+    total = prefix[..., -1] + lens[..., -1]       # entries in the box [N]
+
+    # phase 3 prep: stride subsampling of over-budget boxes
+    stride = jnp.maximum(1, -(-total // budget_total))          # ceil
+    if u_stride is None:
+        offset = jnp.zeros_like(stride)
+    else:
+        offset = jnp.minimum((u_stride * stride).astype(stride.dtype),
+                             stride - 1)
+
+    # phase 2: flatten (strided) intervals into one gather index block
+    ks = jnp.arange(budget_total, dtype=jnp.int32)
+    fk = offset[..., None] + ks * stride[..., None]             # [N, B]
+    shape_k = position.shape[:-1] + (budget_total,)
+    gidx = jnp.zeros(shape_k, jnp.int32)
+    gok = jnp.zeros(shape_k, jnp.bool_)
+    for rn in range(starts.shape[-1]):
+        off = fk - prefix[..., rn:rn + 1]
+        sel = (off >= 0) & (off < lens[..., rn:rn + 1])
+        gidx = jnp.where(sel, starts[..., rn:rn + 1] + off, gidx)
+        gok = gok | sel
+    return gidx, gok, stride, total
+
+
 def gather_photons(grid: PhotonGrid, position: Array, normal: Array,
                    radius: Array, *, max_cells_per_axis: int = 4,
                    budget_total: int = 256, check_normal: bool = True,
@@ -188,54 +254,12 @@ def gather_photons(grid: PhotonGrid, position: Array, normal: Array,
 
     Returns (power [N,3], stats dict).
     """
-    res = grid.resolution
     r = jnp.broadcast_to(radius, position.shape[:-1])
     radius2 = r * r
-    npos = position - grid.origin
-    inv_cs = 1.0 / grid.cell_size
-    lo = jnp.clip(jnp.floor((npos - r[..., None]) * inv_cs), 0,
-                  res - 1).astype(jnp.int32)
-    hi = jnp.clip(jnp.floor((npos + r[..., None]) * inv_cs), 0,
-                  res - 1).astype(jnp.int32)
-
-    # phase 1: per-lane (start, len) interval per (y,z) row of the box
-    starts, lens = [], []
-    for dz in range(max_cells_per_axis):
-        z = lo[..., 2] + dz
-        z_ok = z <= hi[..., 2]
-        for dy in range(max_cells_per_axis):
-            y = lo[..., 1] + dy
-            ok = z_ok & (y <= hi[..., 1])
-            cfrom = (lo[..., 0] + y * res + z * res * res)
-            cto = (hi[..., 0] + y * res + z * res * res)
-            start = grid.offsets[jnp.where(ok, cfrom, 0)]
-            end = grid.offsets[jnp.where(ok, cto, 0) + 1]
-            starts.append(jnp.where(ok, start, 0))
-            lens.append(jnp.where(ok, end - start, 0))
-    starts = jnp.stack(starts, axis=-1)           # [N, R]
-    lens = jnp.stack(lens, axis=-1)               # [N, R]
-    prefix = jnp.cumsum(lens, axis=-1) - lens     # exclusive [N, R]
-    total = prefix[..., -1] + lens[..., -1]       # photons in the box [N]
-
-    # phase 3 prep: stride subsampling of over-budget boxes
-    stride = jnp.maximum(1, -(-total // budget_total))          # ceil
-    if u_stride is None:
-        offset = jnp.zeros_like(stride)
-    else:
-        offset = jnp.minimum((u_stride * stride).astype(stride.dtype),
-                             stride - 1)
-
-    # phase 2: flatten (strided) intervals into one gather index block
-    ks = jnp.arange(budget_total, dtype=jnp.int32)
-    fk = offset[..., None] + ks * stride[..., None]             # [N, B]
-    shape_k = position.shape[:-1] + (budget_total,)
-    gidx = jnp.zeros(shape_k, jnp.int32)
-    gok = jnp.zeros(shape_k, jnp.bool_)
-    for rn in range(starts.shape[-1]):
-        off = fk - prefix[..., rn:rn + 1]
-        sel = (off >= 0) & (off < lens[..., rn:rn + 1])
-        gidx = jnp.where(sel, starts[..., rn:rn + 1] + off, gidx)
-        gok = gok | sel
+    gidx, gok, stride, total = gather_cell_indices(
+        grid.offsets, grid.origin, grid.cell_size, grid.resolution,
+        position, radius, max_cells_per_axis=max_cells_per_axis,
+        budget_total=budget_total, u_stride=u_stride)
 
     # NOTE: keep these as three separate [N,B,3] gathers — fusing them
     # into one [N,B,9] row gather measured 6x SLOWER on v5e (XLA fuses
