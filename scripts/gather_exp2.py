@@ -59,7 +59,8 @@ def main():
                                        (idx0, jnp.zeros((n,), jnp.float32)))
             return acc
 
-        t = med(lambda: jax.jit(f)(idx0), args.reps)
+        _fj = jax.jit(f)
+        t = med(lambda: _fj(idx0), args.reps)
         print(f"{label:34s} R={R:7d} W={W:3d} {str(dtype):14s} "
               f"dep={int(dep)} {t*1e3:9.2f} ms -> "
               f"{t*1e9/(n*K):6.2f} ns/lane/step")

@@ -86,7 +86,8 @@ def main():
 
         return jax.lax.fori_loop(0, K, body, jnp.zeros((n,), jnp.float32))
 
-    t = med(lambda: jax.jit(mt_nc)(rowdat), args.reps)
+    _fj = jax.jit(mt_nc)
+    t = med(lambda: _fj(rowdat), args.reps)
     print(f"MT   [N,L,9] {t*1e3:9.2f} ms -> {t*1e9/(n*K):6.2f} ns/lane/step")
 
     # ---------------- leaf MT: SoA [C, N] form ---------------------------
@@ -119,7 +120,8 @@ def main():
 
         return jax.lax.fori_loop(0, K, body, jnp.zeros((n,), jnp.float32))
 
-    t = med(lambda: jax.jit(mt_cn)(rowdatT), args.reps)
+    _fj = jax.jit(mt_cn)
+    t = med(lambda: _fj(rowdatT), args.reps)
     print(f"MT   [C,N]   {t*1e3:9.2f} ms -> {t*1e9/(n*K):6.2f} ns/lane/step")
 
     # ---------------- slab: [N, A, 6] form --------------------------------
@@ -139,7 +141,8 @@ def main():
 
         return jax.lax.fori_loop(0, K, body, jnp.zeros((n,), jnp.float32))
 
-    t = med(lambda: jax.jit(slab_nc)(rowdat), args.reps)
+    _fj = jax.jit(slab_nc)
+    t = med(lambda: _fj(rowdat), args.reps)
     print(f"slab [N,A,6] {t*1e3:9.2f} ms -> {t*1e9/(n*K):6.2f} ns/lane/step")
 
     # ---------------- slab: SoA [C, N] form -------------------------------
@@ -174,7 +177,8 @@ def main():
 
         return jax.lax.fori_loop(0, K, body, jnp.zeros((n,), jnp.float32))
 
-    t = med(lambda: jax.jit(slab_cn)(rowdatT), args.reps)
+    _fj = jax.jit(slab_cn)
+    t = med(lambda: _fj(rowdatT), args.reps)
     print(f"slab [C,N]   {t*1e3:9.2f} ms -> {t*1e9/(n*K):6.2f} ns/lane/step")
 
     # ---------------- gathers --------------------------------------------
@@ -190,7 +194,8 @@ def main():
                                    (idx0, jnp.zeros((n,), jnp.float32)))
         return acc
 
-    t = med(lambda: jax.jit(g_rows)(idx0), args.reps)
+    _fj = jax.jit(g_rows)
+    t = med(lambda: _fj(idx0), args.reps)
     print(f"gather [R,W]->[N,W] {t*1e3:9.2f} ms -> "
           f"{t*1e9/(n*K):6.2f} ns/lane/step")
 
@@ -206,7 +211,8 @@ def main():
                                    (idx0, jnp.zeros((n,), jnp.float32)))
         return acc
 
-    t = med(lambda: jax.jit(g_cols)(idx0), args.reps)
+    _fj = jax.jit(g_cols)
+    t = med(lambda: _fj(idx0), args.reps)
     print(f"gather [W,R]->[W,N] {t*1e3:9.2f} ms -> "
           f"{t*1e9/(n*K):6.2f} ns/lane/step")
 
@@ -222,7 +228,8 @@ def main():
                                    (idx0, jnp.zeros((n,), jnp.float32)))
         return acc
 
-    t = med(lambda: jax.jit(g_rows_T)(idx0), args.reps)
+    _fj = jax.jit(g_rows_T)
+    t = med(lambda: _fj(idx0), args.reps)
     print(f"gather [R,W]->[N,W]->T {t*1e3:9.2f} ms -> "
           f"{t*1e9/(n*K):6.2f} ns/lane/step")
 
@@ -243,7 +250,8 @@ def main():
                                    (idx0, jnp.zeros((n,), jnp.float32)))
         return acc
 
-    t = med(lambda: jax.jit(g_soa)(idx0), args.reps)
+    _fj = jax.jit(g_soa)
+    t = med(lambda: _fj(idx0), args.reps)
     print(f"gather 8x [R]->[N]  {t*1e3:9.2f} ms -> "
           f"{t*1e9/(n*K):6.2f} ns/lane/step")
 

@@ -29,7 +29,8 @@ sys.path.insert(0, str(REPO))
 
 
 def ensure_asset(detail: float) -> Path:
-    dae = REPO / "scenes" / "atrium_lite.dae"
+    name = "atrium_lite.dae" if detail < 1.0 else "atrium_full.dae"
+    dae = REPO / "scenes" / name
     if dae.exists():
         return dae
     from oppositerenderer_tpu.scene import get_scene_by_name
@@ -59,9 +60,13 @@ def main():
     from oppositerenderer_tpu.scene import get_scene_by_name
     from oppositerenderer_tpu.scene.atrium import make_atrium
 
+    # per-phase load budget (round-2 verdict weak #8: 187.9 s unexplained)
+    from oppositerenderer_tpu.scene import collada as _col
     t0 = time.perf_counter()
     scene, _file_cam = get_scene_by_name(str(dae))
     load_s = time.perf_counter() - t0
+    load_phases = dict(getattr(_col, "LAST_LOAD_PHASES", {}))
+    print("load phases:", {k: round(v, 2) for k, v in load_phases.items()})
     # the .dae carries no camera; use the Atrium factory viewpoint
     _tiny, camera = make_atrium(0.1)
     del _tiny
@@ -76,7 +81,9 @@ def main():
     report = {"asset": str(dae.relative_to(REPO)),
               "triangles": int(scene.geometry.n_triangles),
               "resolution": f"{args.size}x{args.size}",
-              "device": str(jax.devices()[0]), "load_seconds": round(load_s, 2)}
+              "device": str(jax.devices()[0]), "load_seconds": round(load_s, 2),
+              "load_phases": {k: round(v, 2)
+                              for k, v in load_phases.items()}}
     for name in args.methods.split(","):
         # single-iteration dispatches: a 1024^2 BVH iteration is 40-60 s of
         # device time and the tunneled runtime kills long single dispatches

@@ -23,7 +23,7 @@ def main():
     ap.add_argument("--interpret", action="store_true")
     ap.add_argument("--variant", default="scalar",
                     choices=["scalar", "vmem_smem", "hbm_vmem", "hbm_smem",
-                             "fixedrow", "dmaonly"])
+                             "fixedrow", "dmaonly", "noreduce", "onereduce", "noscalar"])
     args = ap.parse_args()
 
     import jax
@@ -49,6 +49,7 @@ def main():
 
     def slab_all(getb, ox, oy, oz, ix, iy, iz, best):
         nxt = jnp.int32(0)
+        packed = jnp.zeros((8, 128), jnp.int32)
         for c in range(A):
             b0, b1, b2 = getb(6 * c + 0), getb(6 * c + 1), getb(6 * c + 2)
             b3, b4, b5 = getb(6 * c + 3), getb(6 * c + 4), getb(6 * c + 5)
@@ -66,7 +67,14 @@ def main():
                              jnp.maximum(t0z, t1z))
             hit = (tn <= tf) & (tn < best)
             best = jnp.where(hit, jnp.minimum(best, tn + 1.0), best)
-            nxt = nxt + jnp.sum(hit.astype(jnp.int32))
+            if variant == "noreduce":
+                pass                      # no cross-lane reduction at all
+            elif variant == "onereduce":
+                packed = packed | (hit.astype(jnp.int32) << c)
+            else:
+                nxt = nxt + jnp.sum(hit.astype(jnp.int32))
+        if variant == "onereduce":
+            nxt = jnp.max(packed)         # ONE reduction for all children
         return nxt, best
 
     def kernel(tab_ref, o_ref, d_ref, out_ref, row_ref, sem_ref):
@@ -94,6 +102,11 @@ def main():
 
                 def getb(j):
                     return row_ref[0, j]
+            if variant == "noscalar":
+                # vector row load only; no per-element scalar reads
+                r = row_ref[0, :]
+                def getb(j):
+                    return r[j]
             if variant == "dmaonly":
                 # DMA per step + ONE scalar read: isolates DMA latency
                 nxt = (row_ref[0, 0] > 1e30).astype(jnp.int32)
@@ -132,12 +145,13 @@ def main():
 
     # NOTE blockspecs above give per-tile blocks (1,3,8,128): kernel refs
     # are [1,3,8,128]; adjust indexing
-    out = jax.jit(run)()
+    runj = jax.jit(run)
+    out = runj()
     out.block_until_ready()
     ts = []
     for _ in range(args.reps):
         t0 = time.perf_counter()
-        jax.jit(run)().block_until_ready()
+        runj().block_until_ready()
         ts.append(time.perf_counter() - t0)
     t = statistics.median(ts)
     per_step = t / (G * STEPS)

@@ -131,6 +131,33 @@ def main():
     assert np.isfinite(np.asarray(img_t)).all()
     assert abs(mt - mx) < 0.05 * max(mx, 1e-6), (mt, mx)
     print(f"PASS PPM iteration tiled-gather mean {mt:.4f} vs XLA {mx:.4f}")
+
+    # 6. packet BVH traversal (compiled Mosaic) == XLA wavefront traversal
+    from oppositerenderer_tpu.accel import bvh as B
+    from oppositerenderer_tpu.accel.pallas_bvh import packet_traverse
+    scene_b, cam_b = get_scene_by_name("Atrium:0.25")
+    bvh = scene_b.bvh
+    if bvh is None:
+        scene_b, bvh = B.build_scene_bvh(scene_b)
+    rng_b = np.random.default_rng(3)
+    nb = 4096
+    mn = np.asarray(scene_b.aabb_min)
+    mx3 = np.asarray(scene_b.aabb_max)
+    ob = jnp.asarray(rng_b.uniform(mn, mx3, (nb, 3)).astype(np.float32))
+    db = rng_b.normal(size=(nb, 3)).astype(np.float32)
+    db = jnp.asarray(db / np.linalg.norm(db, axis=1, keepdims=True))
+    tmin_b = jnp.full((nb,), 1e-3)
+    tmax_b = jnp.full((nb,), 1e30)
+    tp, ip, up, vp, fp = jax.jit(lambda o, d: packet_traverse(
+        bvh, o, d, tmin_b, tmax_b, any_hit=False))(ob, db)
+    tw, iw, uw, vw, fw = jax.jit(lambda o, d: B._traverse_impl(
+        bvh, scene_b.geometry, o, d, tmin_b, tmax_b,
+        any_hit=False))(ob, db)
+    fp_ = np.asarray(fp)
+    np.testing.assert_array_equal(fp_, np.asarray(fw))
+    np.testing.assert_allclose(np.asarray(tp)[fp_], np.asarray(tw)[fp_],
+                               rtol=1e-4, atol=1e-4)
+    print("PASS packet BVH traversal Mosaic==XLA (compiled)")
     print("ALL TPU SELF-CHECKS PASS on", jax.devices()[0])
 
 
