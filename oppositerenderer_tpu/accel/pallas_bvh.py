@@ -54,7 +54,7 @@ def _packet_kernel(root_code: int, arity: int, leaf_size: int,
                    any_hit: bool,
                    rows_ref, o_ref, d_ref, tmin_ref, tmax_ref,
                    t_ref, i_ref, u_ref, v_ref, found_ref,
-                   row_ref, sem_ref, stack_ref):
+                   row_ref, rowi_ref, sem_ref, stack_ref):
     A, L = arity, leaf_size
     ox, oy, oz = o_ref[0, 0], o_ref[0, 1], o_ref[0, 2]
     dx, dy, dz = d_ref[0, 0], d_ref[0, 1], d_ref[0, 2]
@@ -66,28 +66,33 @@ def _packet_kernel(root_code: int, arity: int, leaf_size: int,
     # lanes whose interval is empty never participate (dead lanes arrive
     # with tmax <= tmin, matching the wavefront convention)
     lane_ok = tmax > tmin
+    lane_ok_i = lane_ok.astype(jnp.int32)
 
     stack_ref[0] = jnp.int32(root_code)
 
     def fetch(code):
         """DMA one row: inner rows live at index code; leaf rows at
-        (-code-1) >> 5."""
+        (-code-1) >> 5. The row lands in the f32 scratch; an int32 VIEW is
+        produced by one vector bitcast-copy (Mosaic has no scalar bitcast,
+        so int32 fields — child codes, valid mask, first-prim id — are
+        scalar-read from the int32 scratch instead)."""
         dec = -code - 1
         ridx = jnp.where(code >= 0, code, dec >> 5)
         dma = pltpu.make_async_copy(rows_ref.at[pl.ds(ridx, 1), :],
                                     row_ref, sem_ref)
         dma.start()
         dma.wait()
+        rowi_ref[0:1, :] = pltpu.bitcast(row_ref[0:1, :], jnp.int32)
 
     def scal(j):
         return row_ref[0, j]
 
     def icode(j):
-        return jax.lax.bitcast_convert_type(row_ref[0, j], jnp.int32)
+        return rowi_ref[0, j]
 
     def inner_body(carry):
         sp, t_best, i_best, u_b, v_b, found = carry
-        live = lane_ok & (jnp.where(any_hit, ~found, True))
+        live = lane_ok & (found < (2 if any_hit else 2**30))
         # slab all A children densely; collect per-child scalar verdicts
         valid_mask = icode(7 * A)
         keys = []
@@ -116,26 +121,30 @@ def _packet_kernel(root_code: int, arity: int, leaf_size: int,
             keys.append(enter)
             codes.append(icode(6 * A + c))
         # push hit children FAR-first so the nearest pops first: a static
-        # selection network over A scalars (A is 8/16 — tiny)
-        kv = jnp.stack(keys)
-        cv = jnp.stack(codes)
-        order = jnp.argsort(-kv)          # far (incl. BIG misses) first
-        kv = kv[order]
-        cv = cv[order]
+        # odd-even compare-exchange network over the A (key, code) scalar
+        # pairs — jnp.argsort/lax.sort do not lower in Mosaic TPU kernels
+        pairs = list(zip(keys, codes))
 
-        def push_one(c, carry_sp):
-            sp2 = carry_sp
-            k = kv[c]
+        def cswap(i, j):
+            ki, ci = pairs[i]
+            kj, cj = pairs[j]
+            sw = kj > ki                      # descending keys (far first)
+            pairs[i] = (jnp.where(sw, kj, ki), jnp.where(sw, cj, ci))
+            pairs[j] = (jnp.where(sw, ki, kj), jnp.where(sw, ci, cj))
+
+        for rnd in range(A):
+            for i in range(rnd % 2, A - 1, 2):
+                cswap(i, i + 1)
+
+        for k, c in pairs:
             do = k < BIG
-            stack_ref[jnp.where(do, sp2, MAX_STACK - 1)] = cv[c]
-            return sp2 + do.astype(jnp.int32)
-
-        sp = jax.lax.fori_loop(0, A, push_one, sp)
+            stack_ref[jnp.where(do, sp, MAX_STACK - 1)] = c
+            sp = sp + do.astype(jnp.int32)
         return sp, t_best, i_best, u_b, v_b, found
 
     def leaf_body(code, carry):
         sp, t_best, i_best, u_b, v_b, found = carry
-        live = lane_ok & (jnp.where(any_hit, ~found, True))
+        live = lane_ok & (found < (2 if any_hit else 2**30))
         count = (-code - 1) & 31
         first = scal(10 * L).astype(jnp.int32)
         for k in range(L):
@@ -162,14 +171,14 @@ def _packet_kernel(root_code: int, arity: int, leaf_size: int,
                   & (t > tmin) & (t < t_best))
             if any_hit:
                 ok = ok & (occ > 0.5)
-                found = found | ok
+                found = jnp.maximum(found, ok.astype(jnp.int32) * 2)
             else:
                 better = ok & (t < t_best)
                 t_best = jnp.where(better, t, t_best)
                 i_best = jnp.where(better, first + k, i_best)
                 u_b = jnp.where(better, u, u_b)
                 v_b = jnp.where(better, v, v_b)
-                found = found | better
+                found = jnp.maximum(found, better.astype(jnp.int32))
         return sp, t_best, i_best, u_b, v_b, found
 
     def cond(state):
@@ -177,7 +186,7 @@ def _packet_kernel(root_code: int, arity: int, leaf_size: int,
         go = sp > 0
         if any_hit:
             found = state[5]
-            go = go & ~jnp.all(found | ~lane_ok)
+            go = go & ~jnp.all((found >= 2) | ~lane_ok)
         return go
 
     def step(state):
@@ -197,14 +206,14 @@ def _packet_kernel(root_code: int, arity: int, leaf_size: int,
             jnp.full((8, 128), -1, jnp.int32),
             jnp.zeros((8, 128), jnp.float32),
             jnp.zeros((8, 128), jnp.float32),
-            jnp.zeros((8, 128), jnp.bool_))
+            jnp.zeros((8, 128), jnp.int32))
     sp, t_best, i_best, u_b, v_b, found = jax.lax.while_loop(
         cond, step, init)
     t_ref[0] = t_best
     i_ref[0] = i_best
     u_ref[0] = u_b
     v_ref[0] = v_b
-    found_ref[0] = found.astype(jnp.int32)
+    found_ref[0] = found
 
 
 def packet_traverse(bvh, o, d, tmin, tmax, *, any_hit: bool,
@@ -258,12 +267,13 @@ def packet_traverse(bvh, o, d, tmin, tmax, *, any_hit: bool,
         ],
         scratch_shapes=[
             pltpu.VMEM((1, 128), jnp.float32),
+            pltpu.VMEM((1, 128), jnp.int32),
             pltpu.SemaphoreType.DMA,
             pltpu.SMEM((MAX_STACK,), jnp.int32),
         ],
         interpret=interpret,
     )(rows128, o_t, d_t, tmin_t, tmax_t)
     t, i, u, v, found = (x.reshape(-1)[:n] for x in out)
-    found = found.astype(jnp.bool_)
+    found = found >= (2 if any_hit else 1)
     t = jnp.where(found, t, BIG)
     return t, jnp.maximum(i, 0), u, v, found

@@ -182,6 +182,12 @@ def get_scene_by_name(name: str) -> tuple[Scene, Camera]:
     if name.startswith("Atrium:"):  # e.g. "Atrium:0.5" for lower detail
         from .atrium import make_atrium
         return make_atrium(detail=float(name.split(":", 1)[1]))
+    if name == "Conference":
+        from .conference import make_conference
+        return make_conference()
+    if name.startswith("Conference:"):
+        from .conference import make_conference
+        return make_conference(detail=float(name.split(":", 1)[1]))
     if name in table:
         return table[name]()
     from .collada import load_scene_file

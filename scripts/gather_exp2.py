@@ -67,7 +67,8 @@ def main():
 
     for W in (8, 16, 32, 64, 128):
         run(48 * 1024, W, jnp.float32, True, f"width sweep")
-    for R in (6 * 1024, 384 * 1024):
+    for R in (3 * 1024, 6 * 1024, 12 * 1024, 18 * 1024, 24 * 1024,
+              36 * 1024, 48 * 1024, 96 * 1024, 384 * 1024):
         run(R, 64, jnp.float32, True, "table-size sweep")
     run(48 * 1024, 64, jnp.bfloat16, True, "dtype bf16")
     run(48 * 1024, 64, jnp.int8, True, "dtype int8")
