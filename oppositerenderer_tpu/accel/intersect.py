@@ -272,10 +272,16 @@ def _occluded_pallas(scene: Scene, o, d, tmin, tmax, interpret: bool):
     return occ
 
 
-def _closest_hit_bvh(scene: Scene, o, d, tmin, tmax):
-    from .bvh import traverse
-    t, idx, bu, bv, found = traverse(scene.bvh, scene.geometry, o, d,
-                                     tmin, tmax)
+def _closest_hit_bvh(scene: Scene, o, d, tmin, tmax, coherent=False):
+    if coherent and _packet_route(scene) is not None:
+        from .pallas_bvh import packet_traverse
+        t, idx, bu, bv, found = packet_traverse(
+            scene.bvh, o, d, tmin, tmax, any_hit=False,
+            interpret=_packet_route(scene))
+    else:
+        from .bvh import traverse
+        t, idx, bu, bv, found = traverse(scene.bvh, scene.geometry, o, d,
+                                         tmin, tmax)
     T = scene.geometry.n_triangles
     best_tri = jnp.clip(idx, 0, T - 1)
     t_best_tri = jnp.where(found, t, BIG)
@@ -283,12 +289,35 @@ def _closest_hit_bvh(scene: Scene, o, d, tmin, tmax):
                          bu, bv)
 
 
-def _occluded_bvh(scene: Scene, o, d, tmin, tmax):
-    from .bvh import traverse_any
+def _packet_route(scene: Scene):
+    """Packet-kernel routing decision for COHERENT ray populations
+    (primary camera rays, primary NEE shadow rays — the populations whose
+    per-tile node-visit union stays small; see accel/pallas_bvh.py).
+    Returns the ``interpret`` flag for the kernel, or None to stay on the
+    XLA wavefront (non-pallas backends — the kernel needs Mosaic or the
+    interpreter)."""
+    b = _resolve_backend(scene)
+    if b == "pallas":
+        return False
+    if b == "pallas_interpret":
+        return True
+    return None
+
+
+def _occluded_bvh(scene: Scene, o, d, tmin, tmax, coherent=False):
     g = scene.geometry
     is_emitter = scene.materials.kind == EMITTER
     occluder = ~is_emitter[g.tri_mat]
-    occ = traverse_any(scene.bvh, g, occluder, o, d, tmin, tmax)
+    if coherent and _packet_route(scene) is not None:
+        from .pallas_bvh import packet_traverse
+        # occluder flags are baked into the leaf rows at build time (the
+        # same flags traverse_any consumes), so the mask needs no passing
+        *_, occ = packet_traverse(scene.bvh, o, d, tmin, tmax,
+                                  any_hit=True,
+                                  interpret=_packet_route(scene))
+    else:
+        from .bvh import traverse_any
+        occ = traverse_any(scene.bvh, g, occluder, o, d, tmin, tmax)
     if g.n_spheres > 0:
         _, ok_sph = _sphere_hits(o, d, g.sph_center, g.sph_radius,
                                  tmin, tmax)
@@ -310,12 +339,16 @@ def _auto_chunk(n_rays: int, n_prims: int) -> int:
 
 
 def intersect(scene: Scene, o: Array, d: Array, tmin: Array, tmax: Array,
-              chunk_size: int | None = None) -> Hit:
+              chunk_size: int | None = None,
+              coherent: bool = False) -> Hit:
     """Closest hit for rays [N,3] against the whole scene. Uses the scene's
-    BVH when present (big scenes), else dense brute force."""
+    BVH when present (big scenes), else dense brute force. ``coherent``
+    declares the population spatially coherent (primary rays, primary
+    shadow rays): BVH scenes on the pallas backend then use the packet
+    kernel (one shared stack per 1024-ray tile, zero row gathers)."""
     backend = _resolve_backend(scene)
     if scene.bvh is not None:
-        return _closest_hit_bvh(scene, o, d, tmin, tmax)
+        return _closest_hit_bvh(scene, o, d, tmin, tmax, coherent)
     if backend.startswith("pallas"):
         return _closest_hit_pallas(scene, o, d, tmin, tmax,
                                    interpret=backend.endswith("interpret"))
@@ -326,11 +359,13 @@ def intersect(scene: Scene, o: Array, d: Array, tmin: Array, tmax: Array,
 
 
 def occluded(scene: Scene, o: Array, d: Array, tmin: Array, tmax: Array,
-             chunk_size: int | None = None) -> Array:
-    """Shadow-ray test [N] -> bool. Emitter surfaces never occlude."""
+             chunk_size: int | None = None,
+             coherent: bool = False) -> Array:
+    """Shadow-ray test [N] -> bool. Emitter surfaces never occlude.
+    ``coherent`` as in :func:`intersect`."""
     backend = _resolve_backend(scene)
     if scene.bvh is not None:
-        return _occluded_bvh(scene, o, d, tmin, tmax)
+        return _occluded_bvh(scene, o, d, tmin, tmax, coherent)
     if backend.startswith("pallas"):
         return _occluded_pallas(scene, o, d, tmin, tmax,
                                 interpret=backend.endswith("interpret"))

@@ -83,7 +83,8 @@ def pixel_coords(width: int, height: int):
 
 def nee_direct(scene: Scene, bsdf: BSDF, position: Array, active: Array,
                sampler, n_samples: int, eps,
-               reference_faithful: bool = False) -> Array:
+               reference_faithful: bool = False,
+               coherent: bool = False) -> Array:
     """Next-event estimation at surface points: ``n_samples`` shadow rays to
     uniformly picked lights, averaged (pt/RayGeneratorPT.cu:88-100 and
     ppm/DirectRadianceEstimation.cu:49-71 — with the BSDF f applied instead
@@ -120,7 +121,8 @@ def nee_direct(scene: Scene, bsdf: BSDF, position: Array, active: Array,
         # not-worth lanes trace an empty interval (instant BVH root miss)
         occ = occluded(scene, position, dir_l, jnp.full((n,), 1.0) * eps,
                        jnp.where(worth,
-                                 jnp.maximum(dist - 2 * eps, eps), 0.0))
+                                 jnp.maximum(dist - 2 * eps, eps), 0.0),
+                       coherent=coherent)
         vis = worth & ~occ
         direct = direct + jnp.where(vis[:, None], f * contrib * n_lights,
                                     0.0)

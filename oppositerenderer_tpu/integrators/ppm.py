@@ -105,12 +105,13 @@ def trace_eye_pass(scene: Scene, camera: Camera, cfg: RenderConfig,
         vol_len=jnp.zeros((n,)))
     walking = jnp.ones((n,), jnp.bool_)
 
-    def eye_step(carry, depth):
+    def eye_step(carry, depth, coherent=False):
         hp, o, d, walking = carry
         skey = LaneSampler(jax.random.fold_in(key, 1000 + depth),
                            lane_ids, cheap=cfg.use_cheap_random)
         hit = intersect(scene, o, d, jnp.full((n,), 1.0) * eps,
-                        jnp.where(walking, BIG, 0.0))  # dead: empty ray
+                        jnp.where(walking, BIG, 0.0),  # dead: empty ray
+                        coherent=coherent)
         live = walking & hit.hit
         bsdf, is_emitter, emitter_rad = bsdf_at_hit(scene, hit, d)
         is_spec = bsdf.is_specular() & ~is_emitter
@@ -168,9 +169,14 @@ def trace_eye_pass(scene: Scene, camera: Camera, cfg: RenderConfig,
         walking = cont & res.valid
         return (hp, o, d, walking), None
 
-    (hp, o, d, walking), _ = jax.lax.scan(
-        eye_step, (hp, o, d, walking),
-        jnp.arange(cfg.max_radiance_trace_depth))
+    # depth 0 peeled: primary camera rays go through the packet BVH
+    # kernel on the pallas backend (coherent population — see
+    # accel/pallas_bvh.py); the specular continuation walk stays in scan.
+    carry, _ = eye_step((hp, o, d, walking), 0, coherent=True)
+    if cfg.max_radiance_trace_depth > 1:
+        carry, _ = jax.lax.scan(
+            eye_step, carry, jnp.arange(1, cfg.max_radiance_trace_depth))
+    (hp, o, d, walking) = carry
     return hp
 
 
@@ -433,9 +439,12 @@ def render_iteration(scene: Scene, camera: Camera, cfg: RenderConfig,
                         kt_l, ior_l, diel_l)
     s_est = LaneSampler(est_key, pixel_lanes, cheap=cfg.use_cheap_random)
     with pass_scope("ppm_direct_estimation"):
+        # hitpoints sit at the (mostly depth-0) eye-walk endpoints: tile-
+        # coherent origins, light-converging directions -> packet kernel
         direct = nee_direct(scene, hp_bsdf, hp.position, hp.found, s_est,
                             cfg.ppm_direct_shadow_samples, eps,
-                            reference_faithful=cfg.reference_faithful)
+                            reference_faithful=cfg.reference_faithful,
+                            coherent=True)
     direct = jnp.where(hp.found[:, None], hp.attenuation * direct, 0.0)
     # emitter/specular/miss pixels pass stored radiance through; the
     # reference clamps emitter radiance to <=1 (DirectRadianceEstimation

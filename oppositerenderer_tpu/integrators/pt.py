@@ -55,14 +55,15 @@ def render_lanes(scene: Scene, camera: Camera, cfg: RenderConfig,
         count_emitter=jnp.ones((n,), jnp.bool_),  # primary hit counts
     )
 
-    def bounce(state, depth):
+    def bounce(state, depth, coherent=False):
         skey = LaneSampler(jax.random.fold_in(key, depth + 1), lane_ids,
                            cheap=cfg.use_cheap_random)
         # dead lanes trace an EMPTY interval: the BVH root test fails
         # immediately instead of a full (lockstep-priced) traversal
         hit = intersect(scene, state["o"], state["d"],
                         jnp.full((n,), 1.0) * eps,
-                        jnp.where(state["active"], BIG, 0.0))
+                        jnp.where(state["active"], BIG, 0.0),
+                        coherent=coherent)
         active = state["active"] & hit.hit
         radiance = state["radiance"]
 
@@ -78,7 +79,8 @@ def render_lanes(scene: Scene, camera: Camera, cfg: RenderConfig,
         if cfg.pt_direct_light_sampling and cfg.pt_shadow_samples > 0:
             direct = nee_direct(scene, bsdf, hit.position, active, skey,
                                 cfg.pt_shadow_samples, eps,
-                                reference_faithful=cfg.reference_faithful)
+                                reference_faithful=cfg.reference_faithful,
+                                coherent=coherent)
             radiance = radiance + state["throughput"] * direct
 
         # --- sample continuation direction --------------------------------
@@ -102,10 +104,16 @@ def render_lanes(scene: Scene, camera: Camera, cfg: RenderConfig,
             radiance=radiance, active=active,
             count_emitter=res.is_specular), None
 
-    # lax.scan over bounce index: the body compiles once (compile time on
-    # TPU matters; the reference pays 60s OptiX JIT, OptixRenderer README:78)
-    state, _ = jax.lax.scan(bounce, state,
-                            jnp.arange(cfg.pt_max_segments))
+    # Segment 0 is PEELED out of the scan: primary rays (and their NEE
+    # shadow rays — origins in one pixel tile, directions toward compact
+    # lights) are the coherent population the packet BVH kernel wins on
+    # (accel/pallas_bvh.py cost model). Bounce segments stay in lax.scan
+    # on the XLA wavefront: the body compiles once (compile time on TPU
+    # matters; the reference pays 60s OptiX JIT, OptixRenderer README:78).
+    state, _ = bounce(state, 0, coherent=True)
+    if cfg.pt_max_segments > 1:
+        state, _ = jax.lax.scan(bounce, state,
+                                jnp.arange(1, cfg.pt_max_segments))
     return state["radiance"]
 
 

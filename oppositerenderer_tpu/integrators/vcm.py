@@ -525,12 +525,13 @@ def trace_camera_pass(scene: Scene, camera: Camera, cfg: RenderConfig,
     color = jnp.zeros((n, 3))
     alive = jnp.ones((n,), jnp.bool_)
 
-    def camera_step(carry, depth1):
+    def camera_step(carry, depth1, coherent=False):
         o, d, throughput, dVCM, dVC, dVM, alive, color = carry
         skey = LaneSampler(jax.random.fold_in(key, 4000 + depth1),
                            lane_ids, cheap=cfg.use_cheap_random)
         hit = intersect(scene, o, d, jnp.full((n,), 1.0) * eps,
-                        jnp.where(alive, BIG, 0.0))    # dead: empty ray
+                        jnp.where(alive, BIG, 0.0),    # dead: empty ray
+                        coherent=coherent)
         live = alive & hit.hit
 
         bsdf, is_emitter, _ = bsdf_at_hit(scene, hit, d)
@@ -656,9 +657,13 @@ def trace_camera_pass(scene: Scene, camera: Camera, cfg: RenderConfig,
             force_cont_prob=cfg.vcm_force_continuation_prob)
         return (o, d, throughput, dVCM, dVC, dVM, alive, color), None
 
+    # first camera segment peeled: primary rays are the coherent
+    # population the packet BVH kernel wins on (accel/pallas_bvh.py)
     carry = (o, d, throughput, dVCM, dVC, dVM, alive, color)
-    carry, _ = jax.lax.scan(camera_step, carry,
-                            jnp.arange(1, cfg.vcm_max_path_length + 1))
+    carry, _ = camera_step(carry, 1, coherent=True)
+    if cfg.vcm_max_path_length > 1:
+        carry, _ = jax.lax.scan(camera_step, carry,
+                                jnp.arange(2, cfg.vcm_max_path_length + 1))
     return carry[-1]
 
 
