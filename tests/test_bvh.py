@@ -125,3 +125,34 @@ def test_bvh_cornell_render_and_grad():
 
     g = jax.grad(loss)(1.0)
     assert np.isfinite(float(g)) and float(g) > 0
+
+
+def test_quantized_loop_bit_identical_to_f32_loop():
+    """The int8 quantized inner table (Bvh.q_rows) is a pure encoding/
+    scheduling change: conservative child-box quantization only ever ADDS
+    node visits, and leaf tests run on the exact f32 rows, so traversal
+    results must match the f32 loop EXACTLY (closest and any-hit)."""
+    from oppositerenderer_tpu.accel import bvh as B
+    from oppositerenderer_tpu.scene import get_scene_by_name
+    scene, _cam = get_scene_by_name("Atrium:0.1")
+    bvh = scene.bvh
+    assert bvh is not None and bvh.q_rows is not None
+    rng = np.random.default_rng(5)
+    mn, mx = np.asarray(scene.aabb_min), np.asarray(scene.aabb_max)
+    n = 4096
+    o = jnp.asarray(rng.uniform(mn, mx, (n, 3)).astype(np.float32))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    tmin = jnp.full((n,), 1e-3)
+    tmax = jnp.full((n,), 1e30).at[::9].set(0.0)   # dead lanes too
+    bvh_f = bvh.replace(q_rows=None)
+    for any_hit in (False, True):
+        rq = B._traverse_impl(bvh, scene.geometry, o, d, tmin, tmax,
+                              any_hit)
+        rf = B._traverse_impl(bvh_f, scene.geometry, o, d, tmin, tmax,
+                              any_hit)
+        for a, b, name in zip(rq, rf, ("t", "i", "u", "v", "found")):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b),
+                err_msg=f"any_hit={any_hit} field={name}")
