@@ -392,7 +392,8 @@ def _init_state(bvh: Bvh, o, d, tmin, tmax):
         cur=jnp.full((n,), bvh.root_code, jnp.int32),
         cmask=jnp.full((n,), full, jnp.int32),
         cur_ok=jnp.ones((n,), jnp.bool_),
-        pend=jnp.zeros((n,), jnp.int32),  # postponed leaf code (<0) or 0
+        pend=jnp.zeros((n,), jnp.int32),   # postponed leaf code (<0) or 0
+        pend2=jnp.zeros((n,), jnp.int32),  # second postponement slot
         stack=jnp.zeros((n, bvh.max_stack), jnp.int32),
         sp=jnp.zeros((n,), jnp.int32),
         t_best=jnp.minimum(tmax, BIG),
@@ -402,7 +403,8 @@ def _init_state(bvh: Bvh, o, d, tmin, tmax):
 
 
 def _runnable(st, any_hit):
-    run = st["cur_ok"] | (st["sp"] > 0) | (st["pend"] < 0)
+    run = (st["cur_ok"] | (st["sp"] > 0) | (st["pend"] < 0)
+           | (st["pend2"] < 0))
     if any_hit:
         run = run & ~st["found"]
     return run
@@ -586,7 +588,8 @@ def _run_until(bvh: Bvh, st, any_hit: bool, cap: int):
         (cur, cmask, cur_ok, stack, sp, t_best, i_best, u_best, v_best,
          found) = out
         return dict(o=o, d=d, tmin=tmin, cur=cur, cmask=cmask,
-                    cur_ok=cur_ok, pend=st["pend"], stack=stack, sp=sp,
+                    cur_ok=cur_ok, pend=st["pend"], pend2=st["pend2"],
+                    stack=stack, sp=sp,
                     t_best=t_best, i_best=i_best, u_best=u_best,
                     v_best=v_best, found=found)
 
@@ -598,6 +601,15 @@ def _run_until(bvh: Bvh, st, any_hit: bool, cap: int):
 # Moller-Trumbore for lanes holding a postponed leaf. 2:1 approximates
 # the measured Atrium inner:leaf visit ratio (~13:5.5 per ray).
 _Q_SCHEDULE = ("i", "i", "f", "i", "i", "f")
+# Dynamic mode: each while-loop round runs ONE phase, picked by flush
+# pressure — flush when the postponed-leaf population outweighs the
+# inner-progressable population by _Q_FLUSH_K (the measured flush:inner
+# phase cost ratio, ~(13.3+7)/(3.8+4.4+decode)). Adapts the schedule to
+# the wave state (early traversal = all inner; tail = mostly flush) and
+# compiles ONE copy of each phase body per ladder level instead of
+# len(_Q_SCHEDULE) copies.
+_Q_DYNAMIC = True
+_Q_FLUSH_K = 2.0
 
 
 def _run_until_q(bvh: Bvh, st, any_hit: bool, cap: int):
@@ -625,8 +637,8 @@ def _run_until_q(bvh: Bvh, st, any_hit: bool, cap: int):
         db = d[:, None, :]
 
         def inner(c):
-            (cur, cmask, cur_ok, pend, stack, sp, t_best, i_best, u_best,
-             v_best, found) = c
+            (cur, cmask, cur_ok, pend, pend2, stack, sp, t_best, i_best,
+             u_best, v_best, found) = c
             if any_hit:
                 cur_ok = cur_ok & ~found
             # refill cursor from the stack where it ran dry
@@ -639,12 +651,15 @@ def _run_until_q(bvh: Bvh, st, any_hit: bool, cap: int):
             cur_ok = cur_ok | need
             sp = sp - need.astype(jnp.int32)
 
-            # postpone a leaf cursor into pend (capacity 1; a lane whose
-            # pend is full stalls with the cursor held until a flush)
+            # postpone a leaf cursor into pend/pend2 (capacity 2; a lane
+            # with both slots full stalls with the cursor held until a
+            # flush — capacity 2 halves the stall-driven flush pressure)
             is_leaf_c = cur_ok & (cur < 0)
             take = is_leaf_c & (pend == 0)
             pend = jnp.where(take, cur, pend)
-            cur_ok = cur_ok & ~take
+            take2 = is_leaf_c & ~take & (pend2 == 0)
+            pend2 = jnp.where(take2, cur, pend2)
+            cur_ok = cur_ok & ~(take | take2)
             is_inner = cur_ok & (cur >= 0)
 
             # ---- ONE cheap int8 row gather + decode ----------------------
@@ -688,12 +703,12 @@ def _run_until_q(bvh: Bvh, st, any_hit: bool, cap: int):
             cur = jnp.where(is_inner, go, cur)
             cmask = jnp.where(is_inner, full_mask, cmask)
             cur_ok = jnp.where(is_inner, khits > 0, cur_ok)
-            return (cur, cmask, cur_ok, pend, stack, sp, t_best, i_best,
-                    u_best, v_best, found)
+            return (cur, cmask, cur_ok, pend, pend2, stack, sp, t_best,
+                    i_best, u_best, v_best, found)
 
         def flush(c):
-            (cur, cmask, cur_ok, pend, stack, sp, t_best, i_best, u_best,
-             v_best, found) = c
+            (cur, cmask, cur_ok, pend, pend2, stack, sp, t_best, i_best,
+             u_best, v_best, found) = c
             has = pend < 0
             if any_hit:
                 has = has & ~found
@@ -736,19 +751,43 @@ def _run_until_q(bvh: Bvh, st, any_hit: bool, cap: int):
                 v_best = jnp.where(better, v[ar, j], v_best)
                 found = found | better
             pend = jnp.where(has, 0, pend)
-            return (cur, cmask, cur_ok, pend, stack, sp, t_best, i_best,
-                    u_best, v_best, found)
+            # promote slot 2 so the next flush sees it
+            promote = (pend == 0) & (pend2 < 0)
+            pend = jnp.where(promote, pend2, pend)
+            pend2 = jnp.where(promote, 0, pend2)
+            return (cur, cmask, cur_ok, pend, pend2, stack, sp, t_best,
+                    i_best, u_best, v_best, found)
 
         c = (st["cur"], st["cmask"], st["cur_ok"], st["pend"],
-             st["stack"], st["sp"], st["t_best"], st["i_best"],
-             st["u_best"], st["v_best"], st["found"])
-        for phase in _Q_SCHEDULE:
-            c = inner(c) if phase == "i" else flush(c)
-        (cur, cmask, cur_ok, pend, stack, sp, t_best, i_best, u_best,
-         v_best, found) = c
+             st["pend2"], st["stack"], st["sp"], st["t_best"],
+             st["i_best"], st["u_best"], st["v_best"], st["found"])
+        if _Q_DYNAMIC:
+            # ONE phase per round, picked by flush pressure. A lane can
+            # progress in an inner phase if its cursor is an inner node,
+            # it can refill from the stack, or it holds a leaf cursor
+            # with a free pend slot; a flush pays off proportionally to
+            # the slot-0 pend population.
+            (cur, cmask, cur_ok, pend, pend2, *_rest) = c
+            sp_ = st["sp"]
+            found_ = st["found"]
+            free_pend = (pend == 0) | (pend2 == 0)
+            prog = ((cur_ok & ((cur >= 0) | free_pend))
+                    | (~cur_ok & (sp_ > 0)))
+            n_pend = pend < 0
+            if any_hit:
+                prog = prog & ~found_
+                n_pend = n_pend & ~found_
+            do_flush = (jnp.sum(n_pend).astype(jnp.float32)
+                        > _Q_FLUSH_K * jnp.sum(prog).astype(jnp.float32))
+            c = jax.lax.cond(do_flush, flush, inner, c)
+        else:
+            for phase in _Q_SCHEDULE:
+                c = inner(c) if phase == "i" else flush(c)
+        (cur, cmask, cur_ok, pend, pend2, stack, sp, t_best, i_best,
+         u_best, v_best, found) = c
         return dict(o=o, d=d, tmin=tmin, cur=cur, cmask=cmask,
-                    cur_ok=cur_ok, pend=pend, stack=stack, sp=sp,
-                    t_best=t_best, i_best=i_best, u_best=u_best,
+                    cur_ok=cur_ok, pend=pend, pend2=pend2, stack=stack,
+                    sp=sp, t_best=t_best, i_best=i_best, u_best=u_best,
                     v_best=v_best, found=found)
 
     return jax.lax.while_loop(outer_cond, outer, st)

@@ -220,7 +220,35 @@ def packet_traverse(bvh, o, d, tmin, tmax, *, any_hit: bool,
                     interpret: bool = False):
     """Packet traversal over ray TILEs. Same results contract as
     accel/bvh._traverse_impl: (t, prim, u, v, found); dead lanes are those
-    with tmax <= tmin."""
+    with tmax <= tmin.
+
+    Gradients are defined as ZERO w.r.t. every input (custom_vjp), matching
+    the contract of accel/bvh.traverse/traverse_any: intersection outputs
+    carry no material-parameter dependence, and pallas_call has no autodiff
+    rule — without this wrapper jax.grad through the packet-routed path
+    (coherent=True) would raise where the wavefront path returns zeros.
+    """
+    return _packet_traverse_vjp(bvh, o, d, tmin, tmax, any_hit, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _packet_traverse_vjp(bvh, o, d, tmin, tmax, any_hit, interpret):
+    return _packet_traverse_impl(bvh, o, d, tmin, tmax, any_hit, interpret)
+
+
+def _packet_fwd(bvh, o, d, tmin, tmax, any_hit, interpret):
+    return _packet_traverse_vjp(bvh, o, d, tmin, tmax, any_hit,
+                                interpret), (bvh, o, d, tmin, tmax)
+
+
+def _packet_bwd(any_hit, interpret, res, g):
+    return jax.tree_util.tree_map(jnp.zeros_like, res)
+
+
+_packet_traverse_vjp.defvjp(_packet_fwd, _packet_bwd)
+
+
+def _packet_traverse_impl(bvh, o, d, tmin, tmax, any_hit, interpret):
     n = o.shape[0]
     n_pad = -(-n // TILE) * TILE
     G = n_pad // TILE

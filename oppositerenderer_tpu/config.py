@@ -185,6 +185,23 @@ class RenderConfig:
     use_cheap_random: bool = False        # USE_CHEAP_RANDOM (config.h:39):
                                           # hash RNG instead of threefry
 
+    def __post_init__(self):
+        # Segment 0 of every integrator is peeled out of lax.scan for
+        # packet routing (integrators/pt.py:107-116 and analogs), which
+        # makes the first trace unconditional — depth-0 configs would
+        # silently trace one segment. Reject them instead (the reference
+        # hard-codes these as compile-time constants >= 1, config.h:33-37).
+        for field in ("max_radiance_trace_depth", "max_photon_trace_depth",
+                      "pt_max_segments_nee", "pt_max_segments_no_nee",
+                      "vcm_max_path_length"):
+            if getattr(self, field) < 1:
+                raise ValueError(f"RenderConfig.{field} must be >= 1, got "
+                                 f"{getattr(self, field)}")
+        for field in ("pt_shadow_samples", "ppm_direct_shadow_samples"):
+            if getattr(self, field) < 0:
+                raise ValueError(f"RenderConfig.{field} must be >= 0, got "
+                                 f"{getattr(self, field)}")
+
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)
 

@@ -106,6 +106,8 @@ def nee_direct(scene: Scene, bsdf: BSDF, position: Array, active: Array,
     n_lights = scene.lights.n_lights
     nee_ok = active & ~bsdf.is_specular()
     direct = jnp.zeros((n, 3), jnp.float32)
+    if n_samples <= 0:      # e.g. ppm_direct_shadow_samples=0: no NEE,
+        return direct       # not a 0/0 NaN frame
     for _ in range(n_samples):
         li = jnp.minimum((sampler.next1() * n_lights).astype(jnp.int32),
                          n_lights - 1)

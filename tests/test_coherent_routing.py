@@ -35,8 +35,8 @@ def _render(scene, cam, cfg, method):
         return pt.render_iteration(scene, cam, cfg, it, key)
     if method == "ppm":
         from oppositerenderer_tpu.integrators import ppm
-        st = ppm.init_state(cfg)
-        out, _ = ppm.render_iteration(scene, cam, cfg, it, key, st)
+        out, _ = ppm.render_iteration(scene, cam, cfg, it, key,
+                                      jnp.float32(0.02))
         return out
     from oppositerenderer_tpu.integrators import vcm
     out, _ = vcm.render_iteration(scene, cam, cfg, it, key,
@@ -44,11 +44,17 @@ def _render(scene, cam, cfg, method):
     return out
 
 
-@pytest.mark.parametrize("method", ["pt", "vcm"])
+@pytest.mark.parametrize("method", ["pt", "ppm", "vcm"])
 def test_packet_routed_render_matches_wavefront(bvh_scene, method):
     scene, cam = bvh_scene
     cfg = RenderConfig(width=16, height=16,
-                       render_method=RenderMethod.PATH_TRACING)
+                       render_method=RenderMethod.PATH_TRACING,
+                       # keep the ppm branch cheap: interpret-mode pallas
+                       # on CPU pays per-element; default 1M photons would
+                       # run for minutes
+                       photons_per_iteration=1 << 10,
+                       photon_grid_resolution=8,
+                       gather_photon_budget=64)
     img0 = np.asarray(_render(scene.with_backend("jnp"), cam, cfg, method))
     img1 = np.asarray(_render(scene.with_backend("pallas_interpret"), cam,
                               cfg, method))

@@ -62,6 +62,32 @@ def test_packet_matches_wavefront_anyhit(built):
     np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))
 
 
+def test_packet_traverse_zero_gradient(built):
+    """jax.grad through packet_traverse w.r.t. ray inputs returns the
+    defined ZERO gradient instead of raising from pallas_call autodiff —
+    gradient-contract parity with the wavefront traverse/traverse_any
+    (round-3 advisor medium finding)."""
+    import jax
+    scene, bvh = built
+    o, d, tmin, tmax = rays(256, scene, seed=9)
+
+    def loss(o):
+        t, i, u, v, f = packet_traverse(bvh, o, d, tmin, tmax,
+                                        any_hit=False, interpret=True)
+        return jnp.sum(jnp.where(f, t, 0.0))
+
+    g = jax.grad(loss)(o)
+    np.testing.assert_array_equal(np.asarray(g), 0.0)
+
+    def loss_any(d):
+        *_, f = packet_traverse(bvh, o, d, tmin, tmax, any_hit=True,
+                                interpret=True)
+        return jnp.sum(f.astype(jnp.float32) * jnp.sum(d, axis=1))
+
+    g2 = jax.grad(loss_any)(d)
+    assert np.isfinite(np.asarray(g2)).all()
+
+
 def test_packet_nonmultiple_tile_padding(built):
     scene, bvh = built
     o, d, tmin, tmax = rays(777, scene, seed=5)   # not a TILE multiple

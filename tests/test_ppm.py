@@ -33,6 +33,18 @@ def test_ppm_renders_finite_nonzero(cornell):
     assert m["avg_photon_path_length"] > 0.5
 
 
+def test_ppm_zero_shadow_samples_is_finite(cornell):
+    """ppm_direct_shadow_samples=0 must render a finite (direct-light-free)
+    frame, not a 0/0 NaN frame (round-3 verdict weak #6: nee_direct divided
+    by n_samples unconditionally)."""
+    scene, cam = cornell
+    r = Renderer(scene, cam, ppm_cfg(ppm_direct_shadow_samples=0), seed=2)
+    r.render_next_iteration()
+    img = np.asarray(r.film.mean_radiance())
+    assert np.isfinite(img).all()
+    assert img.sum() > 0.0   # indirect + emitter still contribute
+
+
 def test_ppm_agrees_with_pt(cornell):
     """Mean image PPM vs PT within a few percent (the key estimator
     cross-check; replaces the reference's visual thesis validation)."""
