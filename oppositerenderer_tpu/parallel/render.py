@@ -136,7 +136,9 @@ def _ppm_shard(scene, camera, cfg, it, key, radius_sq, eps, px_s, py_s,
         grid, xstats = exchange_photons_by_cell(
             photons_local, cfg.photon_grid_resolution, TILE_AXIS, n_dev,
             min_cell_size=mcs,
-            capacity_factor=cfg.photon_exchange_capacity_factor)
+            capacity_factor=cfg.photon_exchange_capacity_factor,
+            subsample_u=jax.random.uniform(
+                jax.random.fold_in(est_key, 57), ()))
         # same tile-gather policy as the unsharded integrator
         # (integrators/ppm.py): the Pallas kernel runs against the PARTIAL
         # grid on each device (round-2 verdict weak #4)
@@ -195,7 +197,9 @@ def _ppm_shard(scene, camera, cfg, it, key, radius_sq, eps, px_s, py_s,
             vgrid, _vx = exchange_photons_by_cell(
                 vol_local, cfg.photon_grid_resolution, TILE_AXIS, n_dev,
                 min_cell_size=vol_mcs,
-                capacity_factor=cfg.photon_exchange_capacity_factor)
+                capacity_factor=cfg.photon_exchange_capacity_factor,
+                subsample_u=jax.random.uniform(
+                    jax.random.fold_in(est_key, 58), ()))
             vpow, _ = sharded_gather(
                 vgrid, hp.vol_point, hp.ns, vol_radius, TILE_AXIS,
                 budget_total=max(16, cfg.gather_photon_budget // n_dev),
