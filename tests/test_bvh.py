@@ -131,7 +131,15 @@ def test_quantized_loop_bit_identical_to_f32_loop():
     """The int8 quantized inner table (Bvh.q_rows) is a pure encoding/
     scheduling change: conservative child-box quantization only ever ADDS
     node visits, and leaf tests run on the exact f32 rows, so traversal
-    results must match the f32 loop EXACTLY (closest and any-hit)."""
+    results must match the f32 loop EXACTLY (closest and any-hit).
+
+    Guarantee scope (round-3 advisor): "identical" means up to equal-t
+    TIES — two triangles with exactly equal f32 t resolve by visit order,
+    which the two loops may differ on (this scene has no such tie at
+    these rays, so exact equality is asserted); and the conservativeness
+    of the quantized boxes is asserted under THIS backend's contraction
+    semantics — the compiled TPU lowering (where org + q*scale may fuse
+    to an FMA) is covered by scripts/tpu_selfcheck.py check #7."""
     from oppositerenderer_tpu.accel import bvh as B
     from oppositerenderer_tpu.scene import get_scene_by_name
     scene, _cam = get_scene_by_name("Atrium:0.1")
