@@ -377,18 +377,22 @@ def build_vertex_grid(scene: Scene, cfg: RenderConfig,
                           res)
     cells = jnp.where(flat.valid, cells, n_cells)
     p, w, t = flat.position, flat.wo, flat.throughput
-    out = jax.lax.sort(
-        (cells, p[:, 0], p[:, 1], p[:, 2], w[:, 0], w[:, 1], w[:, 2],
-         t[:, 0], t[:, 1], t[:, 2], flat.dVCM, flat.dVM, cont,
-         flat.depth.astype(jnp.float32)), num_keys=1)
-    offsets = jnp.searchsorted(out[0],
+    # argsort + row gather, not a 14-operand co-sort (XLA:TPU sort compile
+    # scales badly in operand count — see photon_map.build_photon_grid)
+    cells_sorted, order = jax.lax.sort(
+        (cells, jnp.arange(p.shape[0], dtype=jnp.int32)), num_keys=1)
+    cols = jnp.concatenate(
+        [p, w, t, flat.dVCM[:, None], flat.dVM[:, None], cont[:, None],
+         flat.depth.astype(jnp.float32)[:, None]], axis=1)[order]
+    offsets = jnp.searchsorted(cells_sorted,
                                jnp.arange(n_cells + 1, dtype=cells.dtype),
                                method="sort")
     return VertexGrid(
-        position=jnp.stack(out[1:4], axis=-1),
-        wo=jnp.stack(out[4:7], axis=-1),
-        throughput=jnp.stack(out[7:10], axis=-1),
-        dVCM=out[10], dVM=out[11], cont=out[12], depth=out[13],
+        position=cols[:, 0:3],
+        wo=cols[:, 3:6],
+        throughput=cols[:, 6:9],
+        dVCM=cols[:, 9], dVM=cols[:, 10], cont=cols[:, 11],
+        depth=cols[:, 12],
         offsets=offsets.astype(jnp.int32), origin=origin,
         cell_size=cell_size, resolution=res)
 

@@ -98,13 +98,12 @@ def exchange_photons_by_cell(photons: PhotonBatch, resolution: int,
     owner = _row_owner(cells, resolution, n_devices)
     owner = jnp.where(photons.valid, owner, n_devices)  # invalid sorts last
 
-    # --- sort by owner, co-moving all photon columns (one lax.sort) ---
+    # --- sort by owner: argsort + row gather (multi-operand co-sorts
+    # compile 5x slower through XLA:TPU — photon_map.build_photon_grid) ---
     pos, pw, dr = photons.position, photons.power, photons.direction
-    out = jax.lax.sort(
-        (owner, pos[:, 0], pos[:, 1], pos[:, 2], pw[:, 0], pw[:, 1],
-         pw[:, 2], dr[:, 0], dr[:, 1], dr[:, 2]), num_keys=1)
-    owner_s = out[0]
-    cols = jnp.stack(out[1:], axis=-1)               # [P, 9]
+    owner_s, order = jax.lax.sort(
+        (owner, jnp.arange(p_local, dtype=jnp.int32)), num_keys=1)
+    cols = jnp.concatenate([pos, pw, dr], axis=1)[order]   # [P, 9]
 
     # --- slab capacity: fair share x safety, 8-row aligned ---
     cap = int(-(-p_local * capacity_factor // n_devices))

@@ -125,23 +125,25 @@ def build_photon_grid(photons: PhotonBatch, resolution: int,
                           resolution)
     cells = jnp.where(v, cells, n_cells)  # invalid -> sentinel, sorts last
 
-    # multi-operand sort co-moves all photon columns with the cell key —
-    # no post-sort reorder gathers (each [P] gather of millions of rows
-    # costs ~100 ms on v5e; the sort network moves the payload for free)
+    # ARGSORT + row gather, not a 10-operand co-sort: measured on v5e
+    # (round 4, 4M rows x 1M cells), the multi-operand sort COMPILES in
+    # 99 s vs 19 s for (key, iota) sort + one [P,9] gather, at equal
+    # runtime — XLA:TPU's sort lowering scales badly in operand count,
+    # and the grid build was the dominant term of the PPM cold compile
+    # (95 of 115 s). PERF_NOTES "Round-4: cold-compile".
     pw, dr = photons.power, photons.direction
-    out = jax.lax.sort(
-        (cells, p[:, 0], p[:, 1], p[:, 2], pw[:, 0], pw[:, 1], pw[:, 2],
-         dr[:, 0], dr[:, 1], dr[:, 2]), num_keys=1)
-    cells_sorted = out[0]
+    cells_sorted, order = jax.lax.sort(
+        (cells, jnp.arange(p.shape[0], dtype=jnp.int32)), num_keys=1)
+    cols = jnp.concatenate([p, pw, dr], axis=1)[order]     # [P,9]
     # method="sort": one extra vectorized sort instead of the default
     # per-query binary-search while-loop (300 ms -> ~sort cost on v5e)
     offsets = jnp.searchsorted(cells_sorted,
                                jnp.arange(n_cells + 1, dtype=cells.dtype),
                                method="sort")
     return PhotonGrid(
-        position=jnp.stack(out[1:4], axis=-1),
-        power=jnp.stack(out[4:7], axis=-1),
-        direction=jnp.stack(out[7:10], axis=-1),
+        position=cols[:, 0:3],
+        power=cols[:, 3:6],
+        direction=cols[:, 6:9],
         offsets=offsets.astype(jnp.int32), origin=origin,
         cell_size=cell_size, resolution=resolution,
         n_valid=jnp.sum(v).astype(jnp.int32))
