@@ -226,7 +226,14 @@ def _collapse_wide(nmn, nmx, na, nb, arity):
 
 
 def _row_width(arity: int) -> int:
-    return -(-(7 * arity + 1) // 8) * 8
+    """Unified row width. Arity 8 needs 57 f32 for an inner row, but the
+    table is built 128 WIDE: random row gathers price PER ROW and are
+    FLAT in width up to 128 f32 columns (PERF_NOTES round-3/4 gather
+    pricing), so the extra columns are free at gather time and buy leaf
+    rows 12 inlined triangles instead of 6 — halving the leaf visits per
+    ray (the f32 flush gathers are the most expensive term of the
+    quantized traversal loop)."""
+    return max(128, -(-(7 * arity + 1) // 8) * 8)
 
 
 def _pack_wide(nmn, nmx, na, nb, tri9_perm, occluder, arity, L):
@@ -380,8 +387,11 @@ INNER_STEPS = 4
 # below this lane count the compaction ladder stops (compaction overhead
 # beats the lockstep saving only for large waves)
 LADDER_MIN = 16384
-# wave shrink factor per ladder level
-_LADDER_DIV = 2
+# wave shrink factor per ladder level. Swept on v5e (round 4, 1M rays,
+# Atrium, dynamic k=1.5): div=4 603 -> 434 ms vs div=2 — fewer ladder
+# levels = fewer lockstep tail rounds AND ~2x less HLO; lm 8k/65k/262k
+# all worse (597/642/808). PERF_NOTES.
+_LADDER_DIV = 4
 
 
 def _init_state(bvh: Bvh, o, d, tmin, tmax):
@@ -609,7 +619,9 @@ _Q_SCHEDULE = ("i", "i", "f", "i", "i", "f")
 # compiles ONE copy of each phase body per ladder level instead of
 # len(_Q_SCHEDULE) copies.
 _Q_DYNAMIC = True
-_Q_FLUSH_K = 2.0
+# swept on v5e (PERF_NOTES round-4): 1.0/1.5/2.0/3.0 -> 706/704/719/718 ms
+# per 1M incoherent closest rays; static 2:1 baseline 1086 ms (1.54x)
+_Q_FLUSH_K = 1.5
 
 
 def _run_until_q(bvh: Bvh, st, any_hit: bool, cap: int):

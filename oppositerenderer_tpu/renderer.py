@@ -229,6 +229,30 @@ class Renderer:
         )
         return self.metrics
 
+    def _render_chunk_sync(self, n: int):
+        """One synchronous fused dispatch of ``n`` iterations through the
+        multi fn (shared executable for every n), updating the film and
+        the per-iteration time estimate."""
+        was_compiled = ("multi", self.cfg) in self._compiled
+        t0 = time.perf_counter()
+        rad_sum, stats = self._multi_step_fn()(
+            self.camera, jnp.int32(self.iteration), self.root_key,
+            jnp.int32(n), jnp.int32(1))
+        self.film = self.film.add_iterations(rad_sum, n)
+        self.film.accum.block_until_ready()
+        dt = time.perf_counter() - t0
+        if was_compiled:
+            self._iter_seconds_estimate = dt / n
+        self.iteration += n
+        self.metrics = dict(
+            iteration=self.iteration,
+            iteration_seconds=dt / n,
+            ppm_radius=ppm_radius_sq_at_iteration(
+                self.ppm_initial_radius, self.cfg.ppm_alpha,
+                self.iteration - 1) ** 0.5,
+            **{k: float(v) for k, v in stats.items()},
+        )
+
     def render(self, iterations: int) -> Film:
         """Render ``iterations`` iterations, fusing up to
         ``cfg.iterations_per_dispatch`` per device dispatch.
@@ -249,10 +273,14 @@ class Renderer:
             # async mode still needs the watchdog clamp (the budget exists
             # to keep single dispatches under the runtime's kill window):
             # seed the estimate with synchronous probes — the first may be
-            # compile-tainted (untimed), the second times — then go async
+            # compile-tainted (untimed), the second times — then go async.
+            # Probes go through the MULTI fn with n=1 (n is a traced
+            # operand, so the probe shares the fused executable — the
+            # round-3 flow compiled the single-iteration graph AND the
+            # fused graph, doubling every cold compile).
             while (self._iter_seconds_estimate is None
                    and done < min(2, iterations)):
-                self.render_next_iteration()
+                self._render_chunk_sync(1)
                 done += 1
         while done < iterations:
             n = min(chunk, iterations - done)
@@ -262,10 +290,6 @@ class Renderer:
                     n = 1          # probe dispatch to learn the rate
                 else:
                     n = min(n, max(1, int(budget / max(est, 1e-9))))
-            if n == 1 and sync:
-                self.render_next_iteration()
-                done += 1
-                continue
             was_compiled = ("multi", self.cfg) in self._compiled
             t0 = time.perf_counter()
             rad_sum, stats = self._multi_step_fn()(
