@@ -386,12 +386,13 @@ def build_scene_bvh(scene, leaf_size: int | None = None, arity: int = 8):
 INNER_STEPS = 4
 # below this lane count the compaction ladder stops (compaction overhead
 # beats the lockstep saving only for large waves)
-LADDER_MIN = 16384
+LADDER_MIN = 4096
 # wave shrink factor per ladder level. Swept on v5e (round 4, 1M rays,
-# Atrium, dynamic k=1.5): div=4 603 -> 434 ms vs div=2 — fewer ladder
-# levels = fewer lockstep tail rounds AND ~2x less HLO; lm 8k/65k/262k
-# all worse (597/642/808). PERF_NOTES.
-_LADDER_DIV = 4
+# Atrium, dynamic k=1.5): div>=4 is the big lever vs div=2 (603 -> 434
+# ms — fewer, bigger shrinks = fewer lockstep tail rounds and ~2x less
+# HLO); final grid sweep: (lm,div) (16384,4)=443, (16384,8)=437,
+# (16384,16)=487, (4096,4)=436, (4096,8)=425 -> keep (4096,8).
+_LADDER_DIV = 8
 
 
 def _init_state(bvh: Bvh, o, d, tmin, tmax):

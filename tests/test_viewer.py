@@ -127,6 +127,10 @@ def test_pause_resume(viewer):
     svc, base = viewer
     _get(base, "/control?cmd=pause")
     assert _wait_for(lambda: _stats(base)["running_status"] == "PAUSE")
+    # one in-flight iteration may still land after the status flips (the
+    # render thread checks the flag between iterations) — sample AFTER a
+    # settle window, then require stability
+    time.sleep(0.5)
     it = _stats(base)["iterations"]
     time.sleep(0.5)
     assert _stats(base)["iterations"] == it
