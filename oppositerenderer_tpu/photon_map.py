@@ -56,6 +56,24 @@ class PhotonGrid:
     n_valid: Array = None  # [] int32
 
 
+def sort_rows_by_key(key: Array, cols: Array) -> tuple[Array, Array]:
+    """Sort [P] ``key`` with an [P, C] f32 payload co-moved IN the sort.
+
+    Measured v5e trade space (round 4; 4M rows, 1M keys, forced-eval
+    harness /tmp/sort_ab3-4): the C-operand co-sort runs 64 ms and
+    compiles in ~99-129 s; (key, iota) argsort + one [P, C] row gather
+    compiles in ~19 s but runs 130 ms; bitcast-packed int64 pairs (x64
+    mode) are dominated (77 ms / 111 s). The HOT per-iteration photon
+    build keeps the co-sort (runtime wins; compile is paid once and
+    halved elsewhere by the probe/dispatch fix); cold/rare paths
+    (sharded exchange, VM vertex grid) use argsort+gather for compile.
+    """
+    P, C = cols.shape
+    out = jax.lax.sort((key,) + tuple(cols[:, i] for i in range(C)),
+                       num_keys=1)
+    return out[0], jnp.stack(out[1:], axis=-1)
+
+
 def cell_coords(p: Array, origin: Array, cell_size: Array,
                 resolution: int) -> Array:
     """Integer cell coords [...,3], clipped to the grid."""
@@ -125,16 +143,12 @@ def build_photon_grid(photons: PhotonBatch, resolution: int,
                           resolution)
     cells = jnp.where(v, cells, n_cells)  # invalid -> sentinel, sorts last
 
-    # ARGSORT + row gather, not a 10-operand co-sort: measured on v5e
-    # (round 4, 4M rows x 1M cells), the multi-operand sort COMPILES in
-    # 99 s vs 19 s for (key, iota) sort + one [P,9] gather, at equal
-    # runtime — XLA:TPU's sort lowering scales badly in operand count,
-    # and the grid build was the dominant term of the PPM cold compile
-    # (95 of 115 s). PERF_NOTES "Round-4: cold-compile".
+    # co-sort: the payload moves IN the sort (argsort + row gather costs
+    # +66 ms runtime per 4M build; the co-sort's compile cost is the
+    # documented trade — sort_rows_by_key docstring, PERF_NOTES)
     pw, dr = photons.power, photons.direction
-    cells_sorted, order = jax.lax.sort(
-        (cells, jnp.arange(p.shape[0], dtype=jnp.int32)), num_keys=1)
-    cols = jnp.concatenate([p, pw, dr], axis=1)[order]     # [P,9]
+    cells_sorted, cols = sort_rows_by_key(
+        cells, jnp.concatenate([p, pw, dr], axis=1))       # [P,9]
     # method="sort": one extra vectorized sort instead of the default
     # per-query binary-search while-loop (300 ms -> ~sort cost on v5e)
     offsets = jnp.searchsorted(cells_sorted,
