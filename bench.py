@@ -48,8 +48,40 @@ def vcm_rays_per_iteration(cfg):
     return n * (L - 1) * 2 + n * L * (2 + (L - 1))
 
 
-def run_case(scene_name, method_name, size, iters, cfg_extra=None):
-    """Returns a metrics dict for one (scene, method) case."""
+# Contention guard (round-4 verdict weak #1): this box has TWO host cores
+# and any concurrent Python process destroys host-bound phases — same-day
+# runs of the same code disagreed by 1.6x (PERF.md 449 vs BENCH_r04 287
+# ms/iter PPM). Load is sampled before each case; a 1-minute average above
+# this threshold means a competing process is running and the numbers carry
+# it. We annotate rather than refuse so the driver's end-of-round run always
+# produces a record, but `load_ok: false` marks the numbers as contended.
+LOAD_THRESHOLD = 0.75
+
+
+def _load_ok():
+    import os
+    try:
+        load1 = os.getloadavg()[0]
+    except OSError:
+        return None, True
+    ok = load1 < LOAD_THRESHOLD
+    if not ok:
+        import sys
+        print(f"bench.py: WARNING load1={load1:.2f} >= {LOAD_THRESHOLD} — "
+              "a competing process is running; numbers are contended",
+              file=sys.stderr)
+    return round(load1, 2), ok
+
+
+def run_case(scene_name, method_name, size, iters, cfg_extra=None, reps=3):
+    """Returns a metrics dict for one (scene, method) case.
+
+    Compiles once, then times `reps` independent repetitions (restart()
+    between each) and reports the MEDIAN plus min and spread
+    ((max-min)/median) so every published number carries its own error
+    bar (round-4 verdict item 2)."""
+    import statistics
+
     from oppositerenderer_tpu.config import RenderConfig, RenderMethod
     from oppositerenderer_tpu.renderer import Renderer
     from oppositerenderer_tpu.scene import get_scene_by_name
@@ -64,14 +96,19 @@ def run_case(scene_name, method_name, size, iters, cfg_extra=None):
                      "ppm": ppm_rays_per_iteration,
                      "vcm": vcm_rays_per_iteration}[method_name](cfg)
 
+    load1, load_ok = _load_ok()
     r = Renderer(scene, camera, cfg, seed=0)
     t0 = time.perf_counter()
     r.render(iters)           # compile + warm (one fused dispatch)
     compile_s = time.perf_counter() - t0
-    r.restart()
-    t0 = time.perf_counter()
-    r.render(iters)
-    dt = time.perf_counter() - t0
+    times = []
+    for _ in range(max(1, reps)):
+        r.restart()
+        t0 = time.perf_counter()
+        r.render(iters)
+        times.append(time.perf_counter() - t0)
+    dt = statistics.median(times)
+    spread = (max(times) - min(times)) / dt if dt else 0.0
 
     rays_per_s = rays_per_iter * iters / dt
     return {
@@ -82,6 +119,11 @@ def run_case(scene_name, method_name, size, iters, cfg_extra=None):
         "iterations": iters,
         "seconds": round(dt, 3),
         "ms_per_iteration": round(dt / iters * 1000, 2),
+        "ms_per_iteration_min": round(min(times) / iters * 1000, 2),
+        "spread": round(spread, 4),
+        "reps": len(times),
+        "load_1m": load1,
+        "load_ok": load_ok,
         "compile_seconds": round(compile_s, 2),
         "samples_per_s": round(cfg.n_pixels * iters / dt),
     }
@@ -109,10 +151,11 @@ def write_perf_md(path, result):
         f"git `{rev}`. Every number below comes from THIS run's JSON;",
         "narrative/history lives in PERF_NOTES.md (appended).",
         "",
-        "| case | scene | resolution | ms/iteration | rays/s | compile s |",
-        "|---|---|---|---|---|---|",
+        "| case | scene | resolution | ms/iter (median) | min | spread "
+        "| rays/s | compile s | load ok |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
-    for key in ("pt", "ppm", "vcm", "atrium_pt", "conference_pt"):
+    for key in ("pt", "ppm", "vcm", "vcm_vm", "atrium_pt", "conference_pt"):
         c = d.get(key)
         if not c and d.get("method"):
             c = d
@@ -121,8 +164,9 @@ def write_perf_md(path, result):
             continue
         lines.append(
             f"| {key} | {c['scene']} | {c['resolution']} | "
-            f"{c['ms_per_iteration']} | {c['rays_per_s']:,} | "
-            f"{c['compile_seconds']} |")
+            f"{c['ms_per_iteration']} | {c.get('ms_per_iteration_min', '')} | "
+            f"{c.get('spread', '')} | {c['rays_per_s']:,} | "
+            f"{c['compile_seconds']} | {c.get('load_ok', '')} |")
     lines += ["",
               f"Headline: `{result['metric']}` = {result['value']:,} "
               f"rays/s ({result['vs_baseline']}x the nominal 1e8 "

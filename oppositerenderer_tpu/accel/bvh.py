@@ -64,7 +64,9 @@ class Bvh:
       ``build_scene_bvh``: one [R, W] f32 table holding both wide inner
       nodes and leaves, so traversal does exactly one row gather per step.
 
-      Inner row (arity A, W = ceil((7A+1)/8)*8): child i occupies cols
+      Inner row (arity A, W = max(128, ceil((7A+1)/8)*8) — unified
+      128-wide since round 4 so Mosaic DMA starts stay lane-aligned):
+      child i occupies cols
       [6i, 6i+6) = (min3, max3); cols [6A, 7A) = child codes (bitcast
       int32); col [7A] = valid-child bitmask (bitcast int32 — reversed
       bounds do NOT reject in the min/max slab form, so missing children
@@ -334,8 +336,9 @@ def build_scene_bvh(scene, leaf_size: int | None = None, arity: int = 8):
     (their count is tiny in every reference scene).
 
     ``arity`` is the wide-BVH branching factor; the leaf size is derived
-    from the unified row width (arity 8 -> 64-f32 rows -> 6 triangles/leaf;
-    arity swept per round by scripts/bvh_tune.py, results in PERF.md)."""
+    from the unified row width (128-f32 rows since round 4 -> 12
+    triangles/leaf at arity 8; arity swept per round by
+    scripts/bvh_tune.py, results in PERF.md)."""
     W = _row_width(arity)
     L = (W - 1) // 10
     if leaf_size is not None:

@@ -24,8 +24,10 @@ and keeps the XLA wavefront for incoherent bounce rays
 
 Row format: the same unified wide-BVH table as accel/bvh.py
 (``Bvh.rows``, one row per inner node or leaf, child codes/leaf triangles
-inlined), zero-padded from W=64 to 128 columns because Mosaic DMA slices
-must be 128-aligned on the lane dimension.
+inlined). The table is built 128 columns wide since round 4 (Mosaic DMA
+slices must be 128-aligned on the lane dimension); ``_pad_rows_128`` is a
+compatibility fallback for narrower tables and is a no-op on current
+builds.
 
 Gradients: zero, like accel/bvh.traverse (geometry-only computation).
 """

@@ -183,11 +183,10 @@ def _gather_kernel(check_normal: bool, alpha: float, beta: float,
                    scratch, sem):
     """``itab_ref`` [1,8,128] int32 in SMEM: row 0 = starts, row 1 = lens
     (slot r at column r); ``wtab_ref`` [1,8,128] f32 in SMEM: row 0 =
-    weights, row 1 cols 0:3 = tile reference point. The row loop is a
-    ``fori_loop`` with dynamic SMEM scalar reads — the round-3 static
-    64-way unroll made this kernel the dominant term of the PPM cold
-    compile (round-3 verdict: 300 s; each unrolled step carried its own
-    DMA + two matmuls through Mosaic)."""
+    weights, row 1 cols 0:3 = tile reference point. The row loop is the
+    64-way STATIC unroll selected by ``_STATIC_UNROLL`` — see that flag's
+    comment for the measured compile/runtime trade vs the fori_loop +
+    dynamic-DMA form (the unroll is what keeps the cold compile short)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 

@@ -50,7 +50,7 @@ def exchange_photons_by_cell(photons: PhotonBatch, resolution: int,
                              axis_name: str, n_devices: int,
                              min_cell_size: jax.Array | None = None,
                              capacity_factor: float = 2.0,
-                             subsample_u: jax.Array | float = 0.5):
+                             subsample_u: jax.Array | float = None):
     """Inside ``shard_map``: redistribute this device's photons to their
     cell owners and build the local partial grid.
 
@@ -67,8 +67,15 @@ def exchange_photons_by_cell(photons: PhotonBatch, resolution: int,
     energy in expectation at ANY skew; the reference's single full map
     (OptixRenderer_SpatialHash.cu:209-283) is lossless, and this is the
     sharded design's precise trade: variance, not bias, under overflow.
-    ``subsample_u`` in [0,1) randomizes the systematic-sampling phase.
+    ``subsample_u`` in [0,1) randomizes the systematic-sampling phase and
+    is REQUIRED: unbiasedness needs u ~ Uniform[0,1) fresh per iteration —
+    a fixed phase silently biases overflowed groups (ADVICE round 4).
     """
+    if subsample_u is None:
+        raise TypeError(
+            "subsample_u is required: pass u ~ Uniform[0,1) per iteration "
+            "(e.g. jax.random.uniform(key, ())) — the systematic subsample "
+            "is only unbiased with a random phase")
     p_local = photons.position.shape[0]
     # --- shared grid geometry from the GLOBAL masked AABB ---
     origin_l, cs_l = photon_grid_geometry(photons, resolution, min_cell_size)

@@ -105,8 +105,8 @@ def test_sharded_matches_unsharded(cornell, method, kw, unsharded_fn):
     # bounded (one shadow sample's worth of radiance, not garbage);
     # every other element must still match to float tolerance.
     viol = ~np.isclose(a, b, rtol=2e-3, atol=2e-4)
-    ok = ~viol
-    np.testing.assert_allclose(a[ok], b[ok], rtol=2e-3, atol=2e-4)
+    # (no assert on a[~viol] — it would be tautological; the real
+    # guarantees are the flip-count and magnitude bounds below)
     if viol.any():
         n_pixels = a.size // 3
         viol_pixels = int(np.any(viol.reshape(-1, 3), axis=-1).sum())
