@@ -29,20 +29,28 @@ def _tag(el) -> str:
     return _NS.sub("", el.tag)
 
 
-def _floats(text: str) -> np.ndarray:
-    return np.fromstring(text, sep=" ", dtype=np.float32) \
-        if hasattr(np, "fromstring") else np.asarray(
-            [float(x) for x in text.split()], np.float32)
-
-
 def _parse_floats(text: str) -> np.ndarray:
+    """Float payload parser: C scanner (native/text_scan.cpp, memory-speed)
+    with an exact Python fallback. Flagship <float_array> payloads were
+    49-64 s of the load in the Python form (round-4 verdict item 6)."""
+    from ..native import scan_floats
+    out = scan_floats(text)
+    if out is not None:
+        return out
     return np.asarray([float(x) for x in text.replace("\n", " ").split()],
                       np.float32)
 
 
 def _parse_ints(text: str) -> np.ndarray:
+    from ..native import scan_ints
+    out = scan_ints(text)
+    if out is not None:
+        return out
     return np.asarray([int(x) for x in text.replace("\n", " ").split()],
                       np.int64)
+
+
+_floats = _parse_floats
 
 
 BVH_AUTO_THRESHOLD = 2048  # tris above which loaders attach a BVH
