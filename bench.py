@@ -55,7 +55,10 @@ def vcm_rays_per_iteration(cfg):
 # this threshold means a competing process is running and the numbers carry
 # it. We annotate rather than refuse so the driver's end-of-round run always
 # produces a record, but `load_ok: false` marks the numbers as contended.
-LOAD_THRESHOLD = 0.75
+# 1.25 not 0.75: the bench's own compile phase keeps the 1-minute
+# average near 1.0 on this 2-core box; the guard is for a SECOND
+# competing process (load ~2).
+LOAD_THRESHOLD = 1.25
 
 
 def _load_ok():

@@ -227,6 +227,119 @@ def _collapse_wide(nmn, nmx, na, nb, arity):
     return wide_children, depth
 
 
+def _collapse_wide_sah(nmn, nmx, na, nb, arity, L, c_leaf=2.0):
+    """SAH-cost-minimizing wide collapse (round-4 verdict item 1a).
+
+    Dynamic program over the binary SAH tree in the style of Ylitie et
+    al. 2017 (compressed wide BVHs): ``C[n, i]`` is the cheapest expected
+    traversal cost of representing subtree ``n`` as a forest of ``i``
+    wide-node child slots. Recurrences::
+
+        C[n, i>=2] = min_k C[left, k] + C[right, i-k]      (slot split)
+        C[n, 1]    = min( leaf(n),  p(n)*c_node + C[n, A] )
+
+    with p(n) = area(n)/area(root) the geometric visit probability.
+    Deviation from the paper, specific to this wavefront: a leaf VISIT
+    costs a constant flush round (the [N, L] Moller-Trumbore tests all L
+    lanes regardless of triangle count — bvh.py flush phase), so
+    ``leaf(n) = p(n) * c_leaf`` whenever subtree n holds <= L primitives
+    (they are contiguous in prim order by the builder's in-place
+    partition), NOT count*c_prim. ``c_leaf`` is the measured
+    flush:inner round cost ratio (cf. _Q_FLUSH_K).
+
+    Returns the same (wide_children, depth) structure as
+    ``_collapse_wide``.
+    """
+    n = na.shape[0]
+    A = arity
+    INF = np.float64(1e30)
+    leaf_b = na < 0
+    l = np.where(leaf_b, 0, na).astype(np.int64)
+    r = np.where(leaf_b, 0, nb).astype(np.int64)
+    ext = np.maximum(nmx - nmn, 0.0).astype(np.float64)
+    sa = (ext[:, 0] * ext[:, 1] + ext[:, 1] * ext[:, 2]
+          + ext[:, 2] * ext[:, 0])
+    p = sa / max(float(sa[0]), 1e-30)
+
+    # prim ranges (contiguous per subtree) + level schedule, leaves up
+    first = np.where(leaf_b, ~na, 0).astype(np.int64)
+    count = np.where(leaf_b, nb, 0).astype(np.int64)
+    done = leaf_b.copy()
+    batches = []
+    while not done.all():
+        ready = ~done & done[l] & done[r]
+        idx = np.nonzero(ready)[0]
+        batches.append(idx)
+        first[idx] = first[l[idx]]
+        count[idx] = count[l[idx]] + count[r[idx]]
+        done[ready] = True
+
+    C = np.full((n, A + 1), INF)
+    K = np.zeros((n, A + 1), np.int8)    # best split; 0 = single root
+    leaf_ok = count <= min(L, 31)
+    is_leaf_choice = leaf_b.copy()       # slot-root becomes a leaf row
+    C[leaf_b, 1:] = (p[leaf_b] * c_leaf)[:, None]
+    for idx in batches:
+        cl, cr = C[l[idx]], C[r[idx]]    # [B, A+1]
+        for i in range(2, A + 1):
+            ks = np.arange(1, i)
+            cand = cl[:, ks] + cr[:, i - ks]         # [B, i-1]
+            j = np.argmin(cand, axis=1)
+            C[idx, i] = cand[np.arange(len(idx)), j]
+            K[idx, i] = (j + 1).astype(np.int8)
+        cost_int = p[idx] + C[idx, A]
+        cost_leaf = np.where(leaf_ok[idx], p[idx] * c_leaf, INF)
+        pick_leaf = cost_leaf <= cost_int
+        C[idx, 1] = np.where(pick_leaf, cost_leaf, cost_int)
+        is_leaf_choice[idx] = pick_leaf
+        # a forest of i roots may always collapse to a single root
+        for i in range(2, A + 1):
+            better = C[idx, 1] < C[idx, i]
+            C[idx, i] = np.where(better, C[idx, 1], C[idx, i])
+            K[idx, i] = np.where(better, np.int8(0), K[idx, i])
+
+    def collect(b, i):
+        """Slot roots of subtree b distributed over i slots (iterative)."""
+        out, stack = [], [(int(b), int(i))]
+        while stack:
+            bb, ii = stack.pop()
+            k = int(K[bb, ii]) if ii > 1 else 0
+            if k == 0:
+                out.append(bb)
+            else:
+                # right first so left's slots come out first (order is
+                # cosmetic; traversal orders children by hit distance)
+                stack.append((int(r[bb]), ii - k))
+                stack.append((int(l[bb]), k))
+        return out
+
+    wide_children: list[list] = [None]
+    todo = [(0, 0)]
+    while todo:
+        b, wid = todo.pop()
+        entry = []
+        for s in collect(b, A):
+            if is_leaf_choice[s]:
+                entry.append(("leaf", int(first[s]), int(count[s]), s))
+            else:
+                assert s != b, "internal single-root collapse cycle"
+                nwid = len(wide_children)
+                wide_children.append(None)
+                todo.append((s, nwid))
+                entry.append(("inner", nwid, 0, s))
+        wide_children[wid] = entry
+
+    depth = 1
+    stack = [(0, 1)]
+    while stack:
+        wid, d = stack.pop()
+        depth = max(depth, d)
+        for kind, a, _, _ in wide_children[wid]:
+            if kind == "inner":
+                stack.append((a, d + 1))
+    return wide_children, depth
+
+
 def _row_width(arity: int) -> int:
     """Unified row width. Arity 8 needs 57 f32 for an inner row, but the
     table is built 128 WIDE: random row gathers price PER ROW and are
@@ -238,10 +351,13 @@ def _row_width(arity: int) -> int:
     return max(128, -(-(7 * arity + 1) // 8) * 8)
 
 
-def _pack_wide(nmn, nmx, na, nb, tri9_perm, occluder, arity, L):
+def _pack_wide(nmn, nmx, na, nb, tri9_perm, occluder, arity, L,
+               collapse: str = "greedy", c_leaf: float = 2.0):
     """Pack the collapsed wide tree into the unified row table. ``L`` is
     the leaf triangle capacity (also the column layout of leaf rows, so it
-    must match the Bvh.leaf_size the traversal decodes with)."""
+    must match the Bvh.leaf_size the traversal decodes with).
+    ``collapse``: 'sah' = DP cost-minimizing (_collapse_wide_sah),
+    'greedy' = max-area expansion (_collapse_wide)."""
     W = _row_width(arity)
     n_tris = tri9_perm.shape[0]
     assert n_tris < (1 << 24), "first-prim id must be exact in f32"
@@ -253,10 +369,15 @@ def _pack_wide(nmn, nmx, na, nb, tri9_perm, occluder, arity, L):
         _fill_leaf_row(rows, 0, first, count, tri9_perm, occluder, L)
         return rows, -(0 * 32 + count) - 1, 1, 0
 
-    wide_children, depth = _collapse_wide(nmn, nmx, na, nb, arity)
+    if collapse == "sah":
+        wide_children, depth = _collapse_wide_sah(nmn, nmx, na, nb,
+                                                  arity, L, c_leaf)
+    else:
+        wide_children, depth = _collapse_wide(nmn, nmx, na, nb, arity)
     n_wide = len(wide_children)
     n_leaf = sum(1 for ch in wide_children for c in ch if c[0] == "leaf")
-    assert n_wide < (1 << (31 - arity)), "stack packing needs small codes"
+    # bit 30 tags composite stack entries, so (node << A) must fit below it
+    assert n_wide < (1 << (30 - arity)), "stack packing needs small codes"
     rows = np.zeros((n_wide + n_leaf, W), np.float32)
 
     leaf_row = n_wide
@@ -331,7 +452,8 @@ def _fill_leaf_row(rows, r, first, count, tri9_perm, occluder, L):
     rows[r, 10 * L] = np.float32(first)
 
 
-def build_scene_bvh(scene, leaf_size: int | None = None, arity: int = 8):
+def build_scene_bvh(scene, leaf_size: int | None = None, arity: int = 8,
+                    collapse: str = "sah", c_leaf: float = 2.0):
     """Returns (scene-with-permuted-triangles, Bvh). Spheres stay dense
     (their count is tiny in every reference scene).
 
@@ -349,7 +471,11 @@ def build_scene_bvh(scene, leaf_size: int | None = None, arity: int = 8):
     v2 = v0 + np.asarray(g.tri_e2)
     pmin = np.minimum(np.minimum(v0, v1), v2)
     pmax = np.maximum(np.maximum(v0, v1), v2)
-    bvh, order = build_bvh_arrays(pmin, pmax, L)
+    # DP collapse wants fine binary granularity (it decides leaf
+    # boundaries itself, flattening subtrees up to L prims); the greedy
+    # collapse consumes builder leaves directly.
+    bvh, order = build_bvh_arrays(pmin, pmax,
+                                  2 if collapse == "sah" else L)
     perm = jnp.asarray(order)
     geom = g.replace(
         tri_v0=g.tri_v0[perm], tri_e1=g.tri_e1[perm], tri_e2=g.tri_e2[perm],
@@ -368,15 +494,23 @@ def build_scene_bvh(scene, leaf_size: int | None = None, arity: int = 8):
     rows, root_code, depth, n_wide = _pack_wide(
         np.asarray(bvh.nodes_min), np.asarray(bvh.nodes_max),
         np.asarray(bvh.nodes_a), np.asarray(bvh.nodes_b),
-        tri9, (~is_em).astype(np.float32), arity, L)
+        tri9, (~is_em).astype(np.float32), arity, L,
+        collapse=collapse, c_leaf=c_leaf)
     # int8 inner table: layout fits A <= 8 (q_rows docstring offsets)
     q_rows = (jnp.asarray(_build_q_rows(rows, n_wide, arity))
               if n_wide > 0 and arity <= 8 else None)
-    # stack entries are (ancestor node, remaining-child mask) pairs — at
-    # most one per wide-tree level — so depth+1 slots always suffice.
+    # Stack bound: the f32 loop stores (ancestor, remaining-mask) pairs —
+    # one per wide-tree level, depth+1 suffices. The quantized loop with
+    # _CODE_STACK pushes up to A-1 child codes per visited level, so its
+    # hard bound is (A-1)*depth + 1 (realistic occupancy is far lower,
+    # but a silent overflow would corrupt results).
+    # hybrid code stack: <= 2 entries (one code + one composite) per
+    # wide-tree level
+    max_stack = (2 * depth + 1 if (_CODE_STACK and q_rows is not None)
+                 else depth + 1)
     bvh = bvh.replace(rows=jnp.asarray(rows), q_rows=q_rows,
                       root_code=root_code,
-                      arity=arity, leaf_size=L, max_stack=depth + 1)
+                      arity=arity, leaf_size=L, max_stack=max_stack)
     return scene.replace(geometry=geom), bvh
 
 
@@ -398,10 +532,18 @@ LADDER_MIN = 4096
 _LADDER_DIV = 8
 
 
+# diagnostic: carry a per-lane lockstep-round counter through the q loop
+# (scripts/trav_rounds.py); off in production — costs one [N] add/round
+_COUNT_ROUNDS = False
+
+
 def _init_state(bvh: Bvh, o, d, tmin, tmax):
     n = o.shape[0]
     full = (1 << bvh.arity) - 1
+    extra = ({"rounds": jnp.zeros((n,), jnp.int32)} if _COUNT_ROUNDS
+             else {})
     return dict(
+        **extra,
         o=o, d=d, tmin=tmin,
         cur=jnp.full((n,), bvh.root_code, jnp.int32),
         cmask=jnp.full((n,), full, jnp.int32),
@@ -461,7 +603,18 @@ def _solve(bvh: Bvh, st, any_hit: bool):
     n_next = n // _LADDER_DIV
     st = _run_until(bvh, st, any_hit, cap=n_next)
     run = _runnable(st, any_hit)
-    sel = jnp.argsort(jnp.where(run, 0, 1))[:n_next]
+    # live-first partition via cumsum + scatter. The round-4 form was
+    # argsort(~run)[:n_next] — an O(n log n) sort costing ~25 ms at 1M
+    # lanes, which forced the ladder to compact rarely (div=8). cumsum +
+    # two scatters is bandwidth-priced (~1 ms at 1M), making aggressive
+    # compaction affordable (div swept on-chip, scripts/trav_ab.py).
+    # Unwritten tail slots stay 0 = lane 0 duplicated: duplicates carry
+    # identical state, evolve identically (masked updates), and the
+    # merge writes identical values — benign.
+    dest = jnp.cumsum(run.astype(jnp.int32)) - 1
+    src = jnp.arange(n, dtype=jnp.int32)
+    sel = jnp.zeros((n_next,), jnp.int32).at[
+        jnp.where(run, dest, n_next)].set(src, mode="drop")
     sub = jax.tree_util.tree_map(lambda a: a[sel], st)
     sub = _solve(bvh, sub, any_hit)
     return jax.tree_util.tree_map(
@@ -626,6 +779,36 @@ _Q_DYNAMIC = True
 # swept on v5e (PERF_NOTES round-4): 1.0/1.5/2.0/3.0 -> 706/704/719/718 ms
 # per 1M incoherent closest rays; static 2:1 baseline 1086 ms (1.54x)
 _Q_FLUSH_K = 1.5
+# dynamic phases executed per while-loop round. >1 would amortize the
+# full-wave outer_cond reduction across phases, but the pressure
+# decision itself pays two [N] sums per phase either way — measured
+# (round 5, v5e, 1M Atrium rays): 2 phases = 423.3 ms vs 415.6 at 1,
+# with compile 75 -> 118 s. Keep 1.
+_Q_PHASES_PER_ROUND = 1
+# Round-5 (verdict item 1): HYBRID stack. The round-4 stack stored
+# (node, remaining-mask) pairs, so every popped extra child re-gathered
+# and re-decoded the parent row — the device-metric visit sim counts
+# 11.8 inner rounds/ray on Atrium vs 7.7 node-entries/ray (~35% of
+# inner rounds were parent re-decodes). Pushing ALL child codes
+# (far-first sorted) removes the re-decodes but needs an
+# (A-1)*depth-deep stack and an in-loop sort — measured 662 ms/M rays
+# vs 425 for the mask design (the [N,64] one-hot stack traffic and
+# lax.sort ate the win). The hybrid pushes the SECOND-NEAREST child as
+# a plain code (k=2 is the dominant multi-hit case — kills its
+# re-decode) plus ONE tagged (node, mask-of-remainder) entry when k>=3
+# (rare; those children still pay a re-decode each but re-slab against
+# the improved t_best). Stack bound: 2 entries per level -> 2*depth+1.
+# Composite entries are tagged with bit 30 (node row index < 2^22
+# asserted at build); plain inner codes (< 2^22) and leaf codes (< 0)
+# never carry it.
+_CODE_STACK = True
+_COMP_TAG = 1 << 30
+# Forced double flush before each ladder compaction (verdict item 1b
+# "tail shaping"): MEASURED ON-CHIP AS A 1.38x REGRESSION (564.5 vs
+# 409.2 ms/M rays, scripts/trav_ab.py round 5) — the full-wave f32 leaf
+# gathers outside the while_loop cost far more than the retired pend
+# lanes save. Kept as a documented dead knob.
+_FLUSH_AT_LADDER = False
 
 
 def _run_until_q(bvh: Bvh, st, any_hit: bool, cap: int):
@@ -646,174 +829,273 @@ def _run_until_q(bvh: Bvh, st, any_hit: bool, cap: int):
     def outer_cond(st):
         return jnp.sum(_runnable(st, any_hit)) > cap
 
-    def outer(st):
-        o, d, tmin = st["o"], st["d"], st["tmin"]
-        inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
-        ob = o[:, None, :]
-        db = d[:, None, :]
+    o, d, tmin = st["o"], st["d"], st["tmin"]
+    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
+    ob = o[:, None, :]
+    db = d[:, None, :]
 
-        def inner(c):
-            (cur, cmask, cur_ok, pend, pend2, stack, sp, t_best, i_best,
-             u_best, v_best, found) = c
-            if any_hit:
-                cur_ok = cur_ok & ~found
-            # refill cursor from the stack where it ran dry
-            need = ~cur_ok & (sp > 0)
-            if any_hit:
-                need = need & ~found
-            top = _oh_read(stack, sp - 1)
+    def inner(c):
+        (cur, cmask, cur_ok, pend, pend2, stack, sp, t_best, i_best,
+         u_best, v_best, found) = c
+        if any_hit:
+            cur_ok = cur_ok & ~found
+        # refill cursor from the stack where it ran dry
+        need = ~cur_ok & (sp > 0)
+        if any_hit:
+            need = need & ~found
+        top = _oh_read(stack, sp - 1)
+        if _CODE_STACK:
+            # plain code (leaf < 0 or inner < 2^22) vs tagged composite
+            is_comp = need & (top >= _COMP_TAG)
+            untag = top & ~_COMP_TAG
+            cur = jnp.where(need,
+                            jnp.where(is_comp, untag >> A, top), cur)
+            cmask = jnp.where(need,
+                              jnp.where(is_comp, untag & full_mask,
+                                        full_mask), cmask)
+        else:
             cur = jnp.where(need, top >> A, cur)
             cmask = jnp.where(need, top & full_mask, cmask)
-            cur_ok = cur_ok | need
-            sp = sp - need.astype(jnp.int32)
+        cur_ok = cur_ok | need
+        sp = sp - need.astype(jnp.int32)
 
-            # postpone a leaf cursor into pend/pend2 (capacity 2; a lane
-            # with both slots full stalls with the cursor held until a
-            # flush — capacity 2 halves the stall-driven flush pressure)
-            is_leaf_c = cur_ok & (cur < 0)
-            take = is_leaf_c & (pend == 0)
-            pend = jnp.where(take, cur, pend)
-            take2 = is_leaf_c & ~take & (pend2 == 0)
-            pend2 = jnp.where(take2, cur, pend2)
-            cur_ok = cur_ok & ~(take | take2)
-            is_inner = cur_ok & (cur >= 0)
+        # postpone a leaf cursor into pend/pend2 (capacity 2; a lane
+        # with both slots full stalls with the cursor held until a
+        # flush — capacity 2 halves the stall-driven flush pressure)
+        is_leaf_c = cur_ok & (cur < 0)
+        take = is_leaf_c & (pend == 0)
+        pend = jnp.where(take, cur, pend)
+        take2 = is_leaf_c & ~take & (pend2 == 0)
+        pend2 = jnp.where(take2, cur, pend2)
+        cur_ok = cur_ok & ~(take | take2)
+        is_inner = cur_ok & (cur >= 0)
 
-            # ---- ONE cheap int8 row gather + decode ----------------------
-            qrow = bvh.q_rows[jnp.where(is_inner,
-                                        jnp.minimum(cur, nq - 1), 0)]
-            org = jax.lax.bitcast_convert_type(
-                qrow[:, 0:12].reshape(n, 3, 4), jnp.float32)
-            scl = jax.lax.bitcast_convert_type(
-                qrow[:, 12:24].reshape(n, 3, 4), jnp.float32)
-            qlo = jax.lax.bitcast_convert_type(
-                qrow[:, 24:24 + 3 * A], jnp.uint8).astype(jnp.float32)
-            qhi = jax.lax.bitcast_convert_type(
-                qrow[:, 48:48 + 3 * A], jnp.uint8).astype(jnp.float32)
-            lo = org[:, None, :] + qlo.reshape(n, A, 3) * scl[:, None, :]
-            hi = org[:, None, :] + qhi.reshape(n, A, 3) * scl[:, None, :]
-            codes = jax.lax.bitcast_convert_type(
-                qrow[:, 72:72 + 4 * A].reshape(n, A, 4), jnp.int32)
-            valid = jax.lax.bitcast_convert_type(
-                qrow[:, 104:108].reshape(n, 1, 4), jnp.int32)[:, 0]
+        # ---- ONE cheap int8 row gather + decode ----------------------
+        qrow = bvh.q_rows[jnp.where(is_inner,
+                                    jnp.minimum(cur, nq - 1), 0)]
+        org = jax.lax.bitcast_convert_type(
+            qrow[:, 0:12].reshape(n, 3, 4), jnp.float32)
+        scl = jax.lax.bitcast_convert_type(
+            qrow[:, 12:24].reshape(n, 3, 4), jnp.float32)
+        qlo = jax.lax.bitcast_convert_type(
+            qrow[:, 24:24 + 3 * A], jnp.uint8).astype(jnp.float32)
+        qhi = jax.lax.bitcast_convert_type(
+            qrow[:, 48:48 + 3 * A], jnp.uint8).astype(jnp.float32)
+        lo = org[:, None, :] + qlo.reshape(n, A, 3) * scl[:, None, :]
+        hi = org[:, None, :] + qhi.reshape(n, A, 3) * scl[:, None, :]
+        codes = jax.lax.bitcast_convert_type(
+            qrow[:, 72:72 + 4 * A].reshape(n, A, 4), jnp.int32)
+        valid = jax.lax.bitcast_convert_type(
+            qrow[:, 104:108].reshape(n, 1, 4), jnp.int32)[:, 0]
 
-            t0 = (lo - ob) * inv_d[:, None, :]
-            t1 = (hi - ob) * inv_d[:, None, :]
-            tn = jnp.maximum(jnp.max(jnp.minimum(t0, t1), -1),
-                             tmin[:, None])
-            tf = jnp.minimum(jnp.min(jnp.maximum(t0, t1), -1),
-                             t_best[:, None])
-            mbit = ((cmask & valid)[:, None] >> abits[None, :]) & 1
-            hit = (tn <= tf) & (mbit > 0) & is_inner[:, None]
+        t0 = (lo - ob) * inv_d[:, None, :]
+        t1 = (hi - ob) * inv_d[:, None, :]
+        tn = jnp.maximum(jnp.max(jnp.minimum(t0, t1), -1),
+                         tmin[:, None])
+        tf = jnp.minimum(jnp.min(jnp.maximum(t0, t1), -1),
+                         t_best[:, None])
+        mbit = ((cmask & valid)[:, None] >> abits[None, :]) & 1
+        hit = (tn <= tf) & (mbit > 0) & is_inner[:, None]
+        khits = jnp.sum(hit, axis=1)
 
+        if _CODE_STACK:
+            # nearest child -> cursor; SECOND-nearest -> plain code
+            # push; children 3..k -> one tagged (node, mask) composite
+            # pushed underneath (popped last, re-decoded with the
+            # then-current t_best).
+            key = jnp.where(hit, tn, BIG)
+            j1 = jnp.argmin(key, axis=1)
+            oh1 = abits[None, :] == j1[:, None]
+            go = jnp.sum(jnp.where(oh1, codes, 0), axis=1)
+            key2 = jnp.where(oh1, BIG, key)
+            j2 = jnp.argmin(key2, axis=1)
+            oh2 = abits[None, :] == j2[:, None]
+            code2 = jnp.sum(jnp.where(oh2, codes, 0), axis=1)
+            rem = jnp.sum(jnp.where(hit & ~oh1 & ~oh2,
+                                    1 << abits[None, :], 0), axis=1)
+            push_c = is_inner & (khits >= 3)
+            stack = _oh_write(stack, sp,
+                              _COMP_TAG | (cur << A) | rem, push_c)
+            sp = sp + push_c.astype(jnp.int32)
+            push2 = is_inner & (khits >= 2)
+            stack = _oh_write(stack, sp, code2, push2)
+            sp = sp + push2.astype(jnp.int32)
+            cmask = jnp.where(is_inner, full_mask, cmask)
+        else:
             key = jnp.where(hit, tn, BIG)
             j2 = jnp.argmin(key, axis=1)
             oh = abits[None, :] == j2[:, None]
             go = jnp.sum(jnp.where(oh, codes, 0), axis=1)
-            khits = jnp.sum(hit, axis=1)
             rem = jnp.sum(jnp.where(hit & ~oh, 1 << abits[None, :], 0),
                           axis=1)
             push = is_inner & (khits >= 2)
             stack = _oh_write(stack, sp, (cur << A) | rem, push)
             sp = sp + push.astype(jnp.int32)
-
-            cur = jnp.where(is_inner, go, cur)
             cmask = jnp.where(is_inner, full_mask, cmask)
-            cur_ok = jnp.where(is_inner, khits > 0, cur_ok)
-            return (cur, cmask, cur_ok, pend, pend2, stack, sp, t_best,
-                    i_best, u_best, v_best, found)
 
-        def flush(c):
-            (cur, cmask, cur_ok, pend, pend2, stack, sp, t_best, i_best,
-             u_best, v_best, found) = c
-            has = pend < 0
-            if any_hit:
-                has = has & ~found
-            dec = -pend - 1
-            row = bvh.rows[jnp.where(has,
-                                     jnp.minimum(dec >> 5, n_rows - 1),
-                                     0)]
-            count = jnp.where(has, dec & 31, 0)
-            tri = row[:, :9 * L].reshape(n, L, 9)
-            occ_f = row[:, 9 * L:10 * L]
-            first = row[:, 10 * L].astype(jnp.int32)
-            ks = jnp.arange(L)
-            cand = ks[None, :] < count[:, None]
-            if any_hit:
-                cand = cand & (occ_f > 0.5)
-            v0 = tri[..., 0:3]
-            e1 = tri[..., 3:6]
-            e2 = tri[..., 6:9]
-            pvec = jnp.cross(db, e2)
-            det = jnp.sum(e1 * pvec, axis=-1)
-            inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-            tvec = ob - v0
-            u = jnp.sum(tvec * pvec, axis=-1) * inv_det
-            qvec = jnp.cross(tvec, e1)
-            v = jnp.sum(db * qvec, axis=-1) * inv_det
-            t = jnp.sum(e2 * qvec, axis=-1) * inv_det
-            ok = (cand & (jnp.abs(det) > 1e-12) & (u >= 0) & (v >= 0)
-                  & (u + v <= 1.0) & (t > tmin[:, None])
-                  & (t < t_best[:, None]))
-            t = jnp.where(ok, t, BIG)
-            if any_hit:
-                found = found | jnp.any(t < BIG, axis=1)
-            else:
-                j = jnp.argmin(t, axis=1)
-                tj = t[ar, j]
-                better = tj < t_best
-                t_best = jnp.where(better, tj, t_best)
-                i_best = jnp.where(better, first + j, i_best)
-                u_best = jnp.where(better, u[ar, j], u_best)
-                v_best = jnp.where(better, v[ar, j], v_best)
-                found = found | better
-            pend = jnp.where(has, 0, pend)
-            # promote slot 2 so the next flush sees it
-            promote = (pend == 0) & (pend2 < 0)
-            pend = jnp.where(promote, pend2, pend)
-            pend2 = jnp.where(promote, 0, pend2)
-            return (cur, cmask, cur_ok, pend, pend2, stack, sp, t_best,
-                    i_best, u_best, v_best, found)
+        cur = jnp.where(is_inner, go, cur)
+        cur_ok = jnp.where(is_inner, khits > 0, cur_ok)
+        return (cur, cmask, cur_ok, pend, pend2, stack, sp, t_best,
+                i_best, u_best, v_best, found)
 
+    def flush(c):
+        (cur, cmask, cur_ok, pend, pend2, stack, sp, t_best, i_best,
+         u_best, v_best, found) = c
+        has = pend < 0
+        if any_hit:
+            has = has & ~found
+        dec = -pend - 1
+        row = bvh.rows[jnp.where(has,
+                                 jnp.minimum(dec >> 5, n_rows - 1),
+                                 0)]
+        count = jnp.where(has, dec & 31, 0)
+        tri = row[:, :9 * L].reshape(n, L, 9)
+        occ_f = row[:, 9 * L:10 * L]
+        first = row[:, 10 * L].astype(jnp.int32)
+        ks = jnp.arange(L)
+        cand = ks[None, :] < count[:, None]
+        if any_hit:
+            cand = cand & (occ_f > 0.5)
+        v0 = tri[..., 0:3]
+        e1 = tri[..., 3:6]
+        e2 = tri[..., 6:9]
+        pvec = jnp.cross(db, e2)
+        det = jnp.sum(e1 * pvec, axis=-1)
+        inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+        tvec = ob - v0
+        u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+        qvec = jnp.cross(tvec, e1)
+        v = jnp.sum(db * qvec, axis=-1) * inv_det
+        t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+        ok = (cand & (jnp.abs(det) > 1e-12) & (u >= 0) & (v >= 0)
+              & (u + v <= 1.0) & (t > tmin[:, None])
+              & (t < t_best[:, None]))
+        t = jnp.where(ok, t, BIG)
+        if any_hit:
+            found = found | jnp.any(t < BIG, axis=1)
+        else:
+            j = jnp.argmin(t, axis=1)
+            tj = t[ar, j]
+            better = tj < t_best
+            t_best = jnp.where(better, tj, t_best)
+            i_best = jnp.where(better, first + j, i_best)
+            u_best = jnp.where(better, u[ar, j], u_best)
+            v_best = jnp.where(better, v[ar, j], v_best)
+            found = found | better
+        pend = jnp.where(has, 0, pend)
+        # promote slot 2 so the next flush sees it
+        promote = (pend == 0) & (pend2 < 0)
+        pend = jnp.where(promote, pend2, pend)
+        pend2 = jnp.where(promote, 0, pend2)
+        return (cur, cmask, cur_ok, pend, pend2, stack, sp, t_best,
+                i_best, u_best, v_best, found)
+
+    def outer(st):
         c = (st["cur"], st["cmask"], st["cur_ok"], st["pend"],
              st["pend2"], st["stack"], st["sp"], st["t_best"],
              st["i_best"], st["u_best"], st["v_best"], st["found"])
         if _Q_DYNAMIC:
-            # ONE phase per round, picked by flush pressure. A lane can
-            # progress in an inner phase if its cursor is an inner node,
-            # it can refill from the stack, or it holds a leaf cursor
-            # with a free pend slot; a flush pays off proportionally to
-            # the slot-0 pend population.
-            (cur, cmask, cur_ok, pend, pend2, *_rest) = c
-            sp_ = st["sp"]
-            found_ = st["found"]
-            free_pend = (pend == 0) | (pend2 == 0)
-            prog = ((cur_ok & ((cur >= 0) | free_pend))
-                    | (~cur_ok & (sp_ > 0)))
-            n_pend = pend < 0
-            if any_hit:
-                prog = prog & ~found_
-                n_pend = n_pend & ~found_
-            do_flush = (jnp.sum(n_pend).astype(jnp.float32)
-                        > _Q_FLUSH_K * jnp.sum(prog).astype(jnp.float32))
-            c = jax.lax.cond(do_flush, flush, inner, c)
+            # _Q_PHASES_PER_ROUND dynamic phases per while round, each
+            # picked by flush pressure. A lane can progress in an inner
+            # phase if its cursor is an inner node, it can refill from
+            # the stack, or it holds a leaf cursor with a free pend
+            # slot; a flush pays off proportionally to the slot-0 pend
+            # population. Multiple phases per round amortize the
+            # full-wave outer_cond reduction (one [N] sum per round).
+            for _ in range(_Q_PHASES_PER_ROUND):
+                (cur, cmask, cur_ok, pend, pend2, *_rest) = c
+                sp_ = c[6]
+                found_ = c[11]
+                free_pend = (pend == 0) | (pend2 == 0)
+                prog = ((cur_ok & ((cur >= 0) | free_pend))
+                        | (~cur_ok & (sp_ > 0)))
+                n_pend = pend < 0
+                if any_hit:
+                    prog = prog & ~found_
+                    n_pend = n_pend & ~found_
+                do_flush = (jnp.sum(n_pend).astype(jnp.float32)
+                            > _Q_FLUSH_K
+                            * jnp.sum(prog).astype(jnp.float32))
+                c = jax.lax.cond(do_flush, flush, inner, c)
         else:
             for phase in _Q_SCHEDULE:
                 c = inner(c) if phase == "i" else flush(c)
         (cur, cmask, cur_ok, pend, pend2, stack, sp, t_best, i_best,
          u_best, v_best, found) = c
-        return dict(o=o, d=d, tmin=tmin, cur=cur, cmask=cmask,
+        extra = ({"rounds": st["rounds"] + 1} if "rounds" in st
+                 else {})
+        return dict(**extra, o=o, d=d, tmin=tmin, cur=cur, cmask=cmask,
                     cur_ok=cur_ok, pend=pend, pend2=pend2, stack=stack,
                     sp=sp, t_best=t_best, i_best=i_best, u_best=u_best,
                     v_best=v_best, found=found)
 
-    return jax.lax.while_loop(outer_cond, outer, st)
+    st = jax.lax.while_loop(outer_cond, outer, st)
+    if cap > 0 and _FLUSH_AT_LADDER:
+        # retire pend-only lanes at the ladder boundary so they do not
+        # drag into the compacted subwave (two flushes: slot 0 + the
+        # promoted slot 1); verdict item 1b.
+        c = (st["cur"], st["cmask"], st["cur_ok"], st["pend"],
+             st["pend2"], st["stack"], st["sp"], st["t_best"],
+             st["i_best"], st["u_best"], st["v_best"], st["found"])
+        c = flush(flush(c))
+        (cur, cmask, cur_ok, pend, pend2, stack, sp, t_best, i_best,
+         u_best, v_best, found) = c
+        extra = {"rounds": st["rounds"]} if "rounds" in st else {}
+        st = dict(**extra, o=o, d=d, tmin=tmin, cur=cur, cmask=cmask,
+                  cur_ok=cur_ok, pend=pend, pend2=pend2, stack=stack,
+                  sp=sp, t_best=t_best, i_best=i_best, u_best=u_best,
+                  v_best=v_best, found=found)
+    return st
+
+
+
+# Live-first chunking of the incoherent wavefront (round 5, verdict
+# item 1 "fewer lockstep rounds"): integrators mark dead lanes with
+# tmax <= tmin (PT after ray termination/RR, shadow lanes of inactive
+# paths). A dead lane still PAYS every lockstep round until the first
+# ladder boundary drops it (~19 rounds at full width, scripts/
+# trav_rounds.py). Instead: partition lanes live-first with a cumsum
+# (no sort), split into _LIVE_CHUNKS static chunks, and lax.map ONE
+# compiled solve over them sequentially — chunks holding only dead
+# lanes exit their while_loop immediately, so a wave with live
+# fraction f costs ~ceil(f*C)/C of the full-width dispatch. MEASURED
+# (round 5, Atrium PT 512^2 end-to-end): C=4 gave only -3.5% runtime
+# (746 -> 720 ms/iter) while COMPILE went 102 -> 399 s — the lax.map
+# nested inside the scan/fori dispatch blows up XLA:TPU compile, and
+# segment liveness decays slower than modeled. Default 1 (off); kept
+# as a swept knob.
+_LIVE_CHUNKS = 1
+
+
+def _traverse_chunked(bvh: Bvh, geom, o, d, tmin, tmax, any_hit: bool):
+    n = o.shape[0]
+    C = _LIVE_CHUNKS
+    if C <= 1 or n % C != 0 or n // C < LADDER_MIN:
+        return _traverse_impl(bvh, geom, o, d, tmin, tmax, any_hit)
+    run = tmax > tmin
+    live = jnp.cumsum(run.astype(jnp.int32))
+    nlive = live[-1]
+    dead = jnp.cumsum((~run).astype(jnp.int32))
+    pos = jnp.where(run, live - 1, nlive + dead - 1)   # lane -> slot
+    perm = jnp.zeros((n,), jnp.int32).at[pos].set(
+        jnp.arange(n, dtype=jnp.int32))                # slot -> lane
+    chunks = jax.tree_util.tree_map(
+        lambda a: a[perm].reshape(C, n // C, *a.shape[1:]),
+        (o, d, tmin, tmax))
+
+    def body(ch):
+        return _traverse_impl(bvh, geom, *ch, any_hit)
+
+    outs = jax.lax.map(body, chunks)
+    return jax.tree_util.tree_map(
+        lambda a: a.reshape(n, *a.shape[2:])[pos], outs)
 
 
 @jax.custom_vjp
 def traverse(bvh: Bvh, geom, o, d, tmin, tmax):
     """Closest hit via BVH: returns (t, prim_idx, u, v, found). Gradients
     are defined as zero (geometry-only computation; see module docstring)."""
-    return _traverse_impl(bvh, geom, o, d, tmin, tmax, any_hit=False)
+    return _traverse_chunked(bvh, geom, o, d, tmin, tmax, any_hit=False)
 
 
 def _traverse_fwd(bvh, geom, o, d, tmin, tmax):
@@ -838,8 +1120,8 @@ def traverse_any(bvh: Bvh, geom, occluder_mask, o, d, tmin, tmax):
     packed leaf rows at build time — the ``occluder_mask`` argument is kept
     for API stability and ignored."""
     del occluder_mask
-    _, _, _, _, found = _traverse_impl(bvh, geom, o, d, tmin, tmax,
-                                       any_hit=True)
+    _, _, _, _, found = _traverse_chunked(bvh, geom, o, d, tmin, tmax,
+                                          any_hit=True)
     return found
 
 
