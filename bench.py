@@ -232,6 +232,10 @@ def main():
         detail["vcm"] = run_case(args.scene, "vcm", size,
                                  max(2, iters // 4), extra)
         if not args.no_atrium and not args.quick:
+            # NOTE: stacked-iteration batching (RenderConfig
+            # .iteration_batch) was measured a NO-WIN here (+4% at G=5,
+            # PERF_NOTES round-5 — traversal rounds are VPU-pass priced,
+            # not tail-priced) and stays off.
             detail["atrium_pt"] = run_case("Atrium", "pt", size,
                                            max(2, iters // 4), extra)
             # BASELINE.md milestone-4 regime (Sponza/Conference-class

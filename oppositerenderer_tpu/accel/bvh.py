@@ -400,14 +400,28 @@ def _pack_wide(nmn, nmx, na, nb, tri9_perm, occluder, arity, L,
     return rows, 0, depth, n_wide
 
 
+def _q_layout(arity: int):
+    """(qlo, qhi, codes, valid, width) byte offsets of the int8 inner row:
+    org f32x3 at 0, scale f32x3 at 12, then A-child qlo/qhi/codes/valid.
+    Width rounds up to 128-byte lanes (128 at A<=8, 256 at A<=16)."""
+    o_qlo = 24
+    o_qhi = o_qlo + 3 * arity
+    o_codes = o_qhi + 3 * arity
+    o_valid = o_codes + 4 * arity
+    width = -(-(o_valid + 4) // 128) * 128
+    return o_qlo, o_qhi, o_codes, o_valid, width
+
+
 def _build_q_rows(rows, n_wide, arity):
-    """int8-quantized inner table (layout in Bvh.q_rows docstring). Child
-    boxes are quantized CONSERVATIVELY — the numpy verify loop decrements/
-    increments any coordinate whose f32 dequantization would shrink the
-    box — so quantized traversal visits a superset of f32 visits."""
+    """int8-quantized inner table (layout in Bvh.q_rows docstring +
+    _q_layout). Child boxes are quantized CONSERVATIVELY — the numpy
+    verify loop decrements/increments any coordinate whose f32
+    dequantization would shrink the box — so quantized traversal visits a
+    superset of f32 visits."""
     A = arity
+    o_qlo, o_qhi, o_codes, o_valid, qw = _q_layout(A)
     if n_wide == 0:
-        return np.zeros((1, 128), np.int8)
+        return np.zeros((1, qw), np.int8)
     ch = rows[:n_wide, :6 * A].reshape(n_wide, A, 6).astype(np.float32)
     valid_i = np.ascontiguousarray(rows[:n_wide, 7 * A]).view(np.int32)
     codes_i = np.ascontiguousarray(rows[:n_wide, 6 * A:7 * A]
@@ -431,13 +445,15 @@ def _build_q_rows(rows, n_wide, arity):
                        & (qhi < 255), qhi + 1, qhi)
     qlo = np.where(vmask[..., None], qlo, 255).astype(np.uint8)
     qhi = np.where(vmask[..., None], qhi, 0).astype(np.uint8)
-    q = np.zeros((n_wide, 128), np.int8)
+    q = np.zeros((n_wide, qw), np.int8)
     q[:, 0:12] = np.ascontiguousarray(org).view(np.int8)
     q[:, 12:24] = np.ascontiguousarray(scale).view(np.int8)
-    q[:, 24:24 + 3 * A] = qlo.reshape(n_wide, 3 * A).view(np.int8)
-    q[:, 48:48 + 3 * A] = qhi.reshape(n_wide, 3 * A).view(np.int8)
-    q[:, 72:72 + 4 * A] = np.ascontiguousarray(codes_i).view(np.int8)
-    q[:, 104:108] = np.ascontiguousarray(valid_i[:, None]).view(np.int8)
+    q[:, o_qlo:o_qlo + 3 * A] = qlo.reshape(n_wide, 3 * A).view(np.int8)
+    q[:, o_qhi:o_qhi + 3 * A] = qhi.reshape(n_wide, 3 * A).view(np.int8)
+    q[:, o_codes:o_codes + 4 * A] = np.ascontiguousarray(codes_i) \
+        .view(np.int8)
+    q[:, o_valid:o_valid + 4] = np.ascontiguousarray(valid_i[:, None]) \
+        .view(np.int8)
     return q
 
 
@@ -497,8 +513,10 @@ def build_scene_bvh(scene, leaf_size: int | None = None, arity: int = 8,
         tri9, (~is_em).astype(np.float32), arity, L,
         collapse=collapse, c_leaf=c_leaf)
     # int8 inner table: layout fits A <= 8 (q_rows docstring offsets)
+    # the int8 layout holds up to arity 16 in 256-byte rows (_q_layout);
+    # wider arities fall back to the f32 loop
     q_rows = (jnp.asarray(_build_q_rows(rows, n_wide, arity))
-              if n_wide > 0 and arity <= 8 else None)
+              if n_wide > 0 and arity <= 16 else None)
     # Stack bound: the f32 loop stores (ancestor, remaining-mask) pairs —
     # one per wide-tree level, depth+1 suffices. The quantized loop with
     # _CODE_STACK pushes up to A-1 child codes per visited level, so its
@@ -871,6 +889,7 @@ def _run_until_q(bvh: Bvh, st, any_hit: bool, cap: int):
         is_inner = cur_ok & (cur >= 0)
 
         # ---- ONE cheap int8 row gather + decode ----------------------
+        o_qlo, o_qhi, o_codes, o_valid, _qw = _q_layout(A)
         qrow = bvh.q_rows[jnp.where(is_inner,
                                     jnp.minimum(cur, nq - 1), 0)]
         org = jax.lax.bitcast_convert_type(
@@ -878,15 +897,15 @@ def _run_until_q(bvh: Bvh, st, any_hit: bool, cap: int):
         scl = jax.lax.bitcast_convert_type(
             qrow[:, 12:24].reshape(n, 3, 4), jnp.float32)
         qlo = jax.lax.bitcast_convert_type(
-            qrow[:, 24:24 + 3 * A], jnp.uint8).astype(jnp.float32)
+            qrow[:, o_qlo:o_qlo + 3 * A], jnp.uint8).astype(jnp.float32)
         qhi = jax.lax.bitcast_convert_type(
-            qrow[:, 48:48 + 3 * A], jnp.uint8).astype(jnp.float32)
+            qrow[:, o_qhi:o_qhi + 3 * A], jnp.uint8).astype(jnp.float32)
         lo = org[:, None, :] + qlo.reshape(n, A, 3) * scl[:, None, :]
         hi = org[:, None, :] + qhi.reshape(n, A, 3) * scl[:, None, :]
         codes = jax.lax.bitcast_convert_type(
-            qrow[:, 72:72 + 4 * A].reshape(n, A, 4), jnp.int32)
+            qrow[:, o_codes:o_codes + 4 * A].reshape(n, A, 4), jnp.int32)
         valid = jax.lax.bitcast_convert_type(
-            qrow[:, 104:108].reshape(n, 1, 4), jnp.int32)[:, 0]
+            qrow[:, o_valid:o_valid + 4].reshape(n, 1, 4), jnp.int32)[:, 0]
 
         t0 = (lo - ob) * inv_d[:, None, :]
         t1 = (hi - ob) * inv_d[:, None, :]

@@ -99,6 +99,14 @@ class RenderConfig:
     # light vertices gathered per camera vertex per merge round (over-full
     # boxes are stride-subsampled with reweighting, unbiased)
     vcm_vm_budget: int = 64
+    # Tile-shared Pallas kernel for the VM merge gather (accel/pallas_vm
+    # .py): cell-sorted camera vertices share their vertex-grid intervals
+    # in VMEM instead of per-query budget-64 random row gathers. None =
+    # auto (on when the scene's intersection backend is pallas, i.e. on
+    # TPU, and the lane count divides the tile). Same unbiased estimator,
+    # different subsampling pattern; zero-gradient like the PPM tile
+    # gather (set False when merge-term gradients matter).
+    vcm_vm_use_pallas: bool | None = None
     # ablation switches (reference vcm.h:34-37 compile-time defines)
     vcm_connect_vertices: bool = True             # !CONNECT_VERTICES_DISABLED
     vcm_connect_camera_t1: bool = True            # !CONNECT_CAMERA_T1_DISABLED
@@ -143,6 +151,17 @@ class RenderConfig:
     # per-dispatch latency through the runtime (~20 ms over a tunneled
     # link) is paid once per chunk instead of once per iteration.
     iterations_per_dispatch: int = 8
+    # PT iterations STACKED side-by-side in one wavefront (G x W x H lanes
+    # per dispatch) — distinct from iterations_per_dispatch, which runs
+    # them SEQUENTIALLY in a fori_loop. PT iterations are independent
+    # samples (the same property the reference's iteration sharding
+    # exploits, DistributedApplication.cpp:96-122), so stacking them
+    # multiplies the lane count of every traversal dispatch: the BVH
+    # compaction ladder's fixed-size tail rounds (accel/bvh.py ladder) and
+    # per-dispatch overheads amortize over G x more rays (measurements in
+    # PERF_NOTES.md round-5). Only PT batches; other methods ignore this
+    # field.
+    iteration_batch: int = 1
     # Pallas tile-gather for the PPM indirect estimate (accel/
     # pallas_gather.py): pixel tiles share their photon-cell intervals in
     # VMEM instead of per-query random row gathers. None = auto (on when

@@ -120,11 +120,29 @@ def threefry2x32(k0: Array, k1: Array, x0: Array, x1: Array):
     return x0, x1
 
 
-def _key_words(key: Array) -> tuple[Array, Array]:
+def _key_words(key) -> tuple[Array, Array]:
+    """(k0, k1) uint32 words of ``key``. ``key`` may also be a pre-split
+    ``(k0, k1)`` tuple of (possibly per-lane) word arrays — the form
+    :func:`lane_key_words` produces for iteration-batched wavefronts."""
+    if isinstance(key, tuple):
+        k0, k1 = key
+        return k0.astype(jnp.uint32), k1.astype(jnp.uint32)
     kd = jax.random.key_data(key) if jnp.issubdtype(
         key.dtype, jax.dtypes.prng_key) else key.astype(jnp.uint32)
     kd = kd.reshape(-1)
     return kd[0], kd[-1]
+
+
+def lane_key_words(keys: Array, lanes_per_key: int) -> tuple[Array, Array]:
+    """Expand a [G]-batched key array to per-lane (k0, k1) words where lane
+    ``l`` uses key ``l // lanes_per_key`` — the RNG plumbing for stacking G
+    independent iterations into one wavefront (each group of lanes draws
+    exactly the stream the unstacked iteration would). Feed the result to
+    :class:`LaneSampler` as its ``key``."""
+    kd = jax.vmap(jax.random.key_data)(keys).astype(jnp.uint32)  # [G, W]
+    k0 = jnp.repeat(kd[:, 0], lanes_per_key)
+    k1 = jnp.repeat(kd[:, -1], lanes_per_key)
+    return k0, k1
 
 
 def _bits_to_uniform(bits: Array) -> Array:
@@ -166,7 +184,11 @@ class LaneSampler:
         n_pairs = (cols + 1) // 2
         ctr = jnp.arange(n_pairs, dtype=jnp.uint32) + jnp.uint32(self._n)
         self._n += n_pairs
-        b0, b1 = threefry2x32(self._k0, self._k1,
+        # per-lane key words (iteration-batched wavefronts) broadcast over
+        # the column axis; scalar words broadcast over everything
+        k0 = self._k0[:, None] if jnp.ndim(self._k0) == 1 else self._k0
+        k1 = self._k1[:, None] if jnp.ndim(self._k1) == 1 else self._k1
+        b0, b1 = threefry2x32(k0, k1,
                               self._lanes[:, None],
                               jnp.broadcast_to(ctr, (1, n_pairs)))
         u = _bits_to_uniform(jnp.stack([b0, b1], axis=-1)

@@ -56,7 +56,8 @@ def sample_scatter_distance(medium: Medium, u: Array):
 def volumetric_radiance_estimate(medium: Medium, accum_power: Array,
                                  radius: Array, seg_len: Array,
                                  t_in_medium: Array,
-                                 n_emitted: int) -> Array:
+                                 n_emitted: int,
+                                 weight: Array | None = None) -> Array:
     """Single sample of the in-scattered radiance along a segment.
 
     ``accum_power`` is the kernel-weighted photon power gathered at the
@@ -64,9 +65,26 @@ def volumetric_radiance_estimate(medium: Medium, accum_power: Array,
     disabled); the estimator is
         L = T(t) * sigma_s * phase * density / pdf(t),
     density = power / (4/3 pi r^3) / n_emitted, pdf(t) = 1/seg_len.
+
+    ``weight`` (optional [N,3]) carries the path attenuation up to the
+    segment times the inverse reservoir pick probability when the segment
+    was chosen among several (integrators/ppm.trace_eye_pass); omitted it
+    is 1, the primary-segment case.
+
+    The 1/sigma_t: deposits happen at free-flight scatter EVENTS, whose
+    density per unit volume is sigma_t x fluence (events per unit photon
+    path length = sigma_t), so the gathered power over-counts the fluence
+    by sigma_t and the in-scatter source sigma_s/(4 pi) x fluence needs
+    the division. Found by the analytic slab quadrature test
+    (tests/test_media.py::test_slab_single_scatter_matches_quadrature):
+    the round-4 estimator was low by exactly sigma_t.
     """
     volume = (4.0 / 3.0) * jnp.pi * radius ** 3
     t_trans = jnp.exp(-medium.sigma_t * t_in_medium)
-    density = accum_power / (volume * n_emitted)
-    return (t_trans * medium.sigma_s * INV_4PI * seg_len)[..., None] \
-        * density
+    fluence = accum_power / (volume * n_emitted
+                             * jnp.maximum(medium.sigma_t, 1e-12))
+    out = (t_trans * medium.sigma_s * INV_4PI * seg_len)[..., None] \
+        * fluence
+    if weight is not None:
+        out = out * weight
+    return out

@@ -74,10 +74,17 @@ class HitpointBuffer:
     # flags mirroring RadiancePRD bits
     hit_emitter: Array  # [N]
     specular_chain: Array  # [N] passed through >=1 specular vertex
-    # participating-media sample on the camera segment (zeros when no medium)
+    # participating-media in-scatter sample (zeros when no medium): ONE
+    # weighted-reservoir-picked segment of the WHOLE eye walk (the
+    # reference gathers on every in-medium segment,
+    # ParticipatingMedium.cu:66-201; a reweighted single sample keeps one
+    # volumetric gather per pixel and stays unbiased)
     vol_point: Array    # [N,3] sampled in-medium point
     vol_t: Array        # [N] distance into the medium at the sample
     vol_len: Array      # [N] in-medium overlap length of the segment
+    vol_atten: Array    # [N,3] path attenuation up to the segment start
+    vol_w: Array        # [N] reservoir weight of the selected segment
+    vol_wsum: Array     # [N] total reservoir weight over the walk
 
 
 # ---------------------------------------------------------------------------
@@ -102,11 +109,18 @@ def trace_eye_pass(scene: Scene, camera: Camera, cfg: RenderConfig,
         hit_emitter=jnp.zeros((n,), jnp.bool_),
         specular_chain=jnp.zeros((n,), jnp.bool_),
         vol_point=jnp.zeros((n, 3)), vol_t=jnp.zeros((n,)),
-        vol_len=jnp.zeros((n,)))
+        vol_len=jnp.zeros((n,)), vol_atten=jnp.zeros((n, 3)),
+        vol_w=jnp.zeros((n,)), vol_wsum=jnp.zeros((n,)))
     walking = jnp.ones((n,), jnp.bool_)
+    # per-lane "inside a dielectric" bit: the TPU form of the reference's
+    # medium-aware ray types (RayType.h:16-22) — Glass.cu:146-160 switches
+    # refracted rays to *_IN_PARTICIPATING_MEDIUM types so glass interiors
+    # skip the global medium; here the bit flips on every refraction
+    # (geometric-normal side change) and suppresses the medium while set
+    inside = jnp.zeros((n,), jnp.bool_)
 
     def eye_step(carry, depth, coherent=False):
-        hp, o, d, walking = carry
+        hp, o, d, walking, inside = carry
         skey = LaneSampler(jax.random.fold_in(key, 1000 + depth),
                            lane_ids, cheap=cfg.use_cheap_random)
         hit = intersect(scene, o, d, jnp.full((n,), 1.0) * eps,
@@ -118,24 +132,38 @@ def trace_eye_pass(scene: Scene, camera: Camera, cfg: RenderConfig,
 
         if scene.medium is not None:
             # transmittance over the in-medium part of this segment
-            # (ParticipatingMedium.cu:66-93) + one distance-sampled
-            # volumetric gather point on the camera segment (depth 0)
+            # (ParticipatingMedium.cu:66-93) + weighted-reservoir pick of
+            # ONE in-scatter sample point across ALL eye segments
+            from ..core.math import luminance
             from .media import segment_overlap, transmittance
             t_seg = jnp.where(hit.hit, hit.t, 0.0)
             t_enter, overlap = segment_overlap(scene.medium, o, d, t_seg)
+            in_medium = walking & ~inside
+            overlap = jnp.where(in_medium, overlap, 0.0)
             tr = transmittance(scene.medium, overlap)
+            atten_before = hp.attenuation
             hp = hp.replace(attenuation=jnp.where(
                 walking[:, None], hp.attenuation * tr[:, None],
                 hp.attenuation))
+            # reservoir: segment weight = in-medium length x path
+            # attenuation luminance; accept with prob w / wsum so the
+            # final pick probability is w_k / W_total (reweighted in
+            # render_iteration -> unbiased over every segment)
+            w_seg = overlap * jnp.maximum(luminance(atten_before), 0.0)
+            wsum_new = hp.vol_wsum + w_seg
+            take = in_medium & (w_seg > 0.0) & (
+                skey.next1() * wsum_new < w_seg)
             u_v = skey.next1()
             t_v = u_v * overlap
-            primary = depth == 0
-            sel_v = (walking & primary)[:, None]
+            sel_v = take[:, None]
             hp = hp.replace(
                 vol_point=jnp.where(
                     sel_v, o + (t_enter + t_v)[:, None] * d, hp.vol_point),
-                vol_t=jnp.where(walking & primary, t_v, hp.vol_t),
-                vol_len=jnp.where(walking & primary, overlap, hp.vol_len))
+                vol_t=jnp.where(take, t_v, hp.vol_t),
+                vol_len=jnp.where(take, overlap, hp.vol_len),
+                vol_atten=jnp.where(sel_v, atten_before, hp.vol_atten),
+                vol_w=jnp.where(take, w_seg, hp.vol_w),
+                vol_wsum=wsum_new)
 
         # emitter: pick up radiance, stop (DiffuseEmitter.cu:40-52)
         em = live & is_emitter
@@ -164,19 +192,31 @@ def trace_eye_pass(scene: Scene, camera: Camera, cfg: RenderConfig,
             attenuation=jnp.where(cont[:, None] & res.valid[:, None],
                                   hp.attenuation * w, hp.attenuation),
             specular_chain=hp.specular_chain | cont)
+        # refraction flips the dielectric-interior bit (side change
+        # against the geometric normal — Glass.cu:146-160 ray-type switch)
+        crossed = cont & res.valid & (
+            dot(bsdf.ng, res.world_dir) * dot(bsdf.ng, -d) < 0.0)
+        inside = inside ^ crossed
         o = jnp.where(cont[:, None], hit.position, o)
         d = jnp.where(cont[:, None], res.world_dir, d)
         walking = cont & res.valid
-        return (hp, o, d, walking), None
+        return (hp, o, d, walking, inside), None
 
-    # depth 0 peeled: primary camera rays go through the packet BVH
-    # kernel on the pallas backend (coherent population — see
-    # accel/pallas_bvh.py); the specular continuation walk stays in scan.
-    carry, _ = eye_step((hp, o, d, walking), 0, coherent=True)
-    if cfg.max_radiance_trace_depth > 1:
+    # depth 0 peeled ONLY on BVH scenes: primary camera rays go through
+    # the packet BVH kernel on the pallas backend (coherent population —
+    # accel/pallas_bvh.py); without a BVH the peel would just duplicate
+    # the eye body in the executable (cold-compile cost, round-5).
+    if scene.bvh is not None:
+        carry, _ = eye_step((hp, o, d, walking, inside), 0, coherent=True)
+        if cfg.max_radiance_trace_depth > 1:
+            carry, _ = jax.lax.scan(
+                eye_step, carry,
+                jnp.arange(1, cfg.max_radiance_trace_depth))
+    else:
         carry, _ = jax.lax.scan(
-            eye_step, carry, jnp.arange(1, cfg.max_radiance_trace_depth))
-    (hp, o, d, walking) = carry
+            eye_step, (hp, o, d, walking, inside),
+            jnp.arange(0, cfg.max_radiance_trace_depth))
+    (hp, o, d, walking, inside) = carry
     return hp
 
 
@@ -255,9 +295,12 @@ def trace_photon_pass(scene: Scene, cfg: RenderConfig, key: Array, eps,
     vmax = cfg.media_max_deposits_per_photon
     vol_stored = jnp.zeros((n,), jnp.int32)
     has_medium = scene.medium is not None
+    # dielectric-interior bit (PHOTON_IN_PARTICIPATING_MEDIUM ray-type
+    # analog, RayType.h:16-22): photons inside glass skip the medium
+    inside = jnp.zeros((n,), jnp.bool_)
 
     def photon_step(carry, depth):
-        o, d, power, stored, alive, path_len, vol_stored = carry
+        o, d, power, stored, alive, path_len, vol_stored, inside = carry
         skey = LaneSampler(jax.random.fold_in(key, 2000 + depth),
                            lane_ids, cheap=cfg.use_cheap_random)
         hit = intersect(scene, o, d, jnp.full((n,), 1.0) * eps,
@@ -275,7 +318,7 @@ def trace_photon_pass(scene: Scene, cfg: RenderConfig, key: Array, eps,
             t_seg = jnp.where(hit.hit, hit.t, BIG)
             t_enter, overlap = segment_overlap(scene.medium, o, d, t_seg)
             delta, _pdf = sample_scatter_distance(scene.medium, skey.next1())
-            scatter = alive & (delta < overlap)
+            scatter = alive & ~inside & (delta < overlap)
             sp = o + (t_enter + delta)[:, None] * d
             # deposit a volumetric photon (power before the albedo multiply)
             vdep = scatter & (vol_stored < vmax)
@@ -311,6 +354,12 @@ def trace_photon_pass(scene: Scene, cfg: RenderConfig, key: Array, eps,
                           power)
         live = live & survive
 
+        # refraction through a dielectric flips the interior bit
+        crossed = live & (
+            jnp.sum(bsdf.ng * res.world_dir, axis=-1)
+            * jnp.sum(bsdf.ng * (-d), axis=-1) < 0.0)
+        inside = inside ^ crossed
+
         o = jnp.where(live[:, None], hit.position, o)
         d = jnp.where(live[:, None], res.world_dir, d)
         if has_medium:
@@ -319,12 +368,13 @@ def trace_photon_pass(scene: Scene, cfg: RenderConfig, key: Array, eps,
         alive = live | scatter
         path_len = path_len + alive.astype(jnp.int32)
         ys = (y, vol_y) if has_medium else (y,)
-        return (o, d, power, stored, alive, path_len, vol_stored), ys
+        return (o, d, power, stored, alive, path_len, vol_stored,
+                inside), ys
 
-    carry = (o, d, power, stored, alive, path_len, vol_stored)
+    carry = (o, d, power, stored, alive, path_len, vol_stored, inside)
     carry, ys = jax.lax.scan(photon_step, carry,
                              jnp.arange(cfg.max_photon_trace_depth))
-    (o, d, power, stored, alive, path_len, vol_stored) = carry
+    (o, d, power, stored, alive, path_len, vol_stored, inside) = carry
 
     y = ys[0]
     photons = PhotonBatch(position=y["pos"].reshape(-1, 3),
@@ -452,8 +502,10 @@ def render_iteration(scene: Scene, camera: Camera, cfg: RenderConfig,
     passthrough = (jnp.minimum(hp.radiance, 1.0)
                    if cfg.reference_faithful else hp.radiance)
 
-    # 5b. volumetric in-scatter on the camera segment (media redesign:
-    # distance-sampled point gather, integrators/media.py docstring)
+    # 5b. volumetric in-scatter at the reservoir-picked eye segment (media
+    # redesign: distance-sampled point gather, integrators/media.py
+    # docstring; the pick covers EVERY in-medium eye segment, reweighted
+    # by its inverse pick probability)
     volumetric = jnp.zeros((n, 3))
     if scene.medium is not None:
         from .media import volumetric_radiance_estimate
@@ -468,10 +520,14 @@ def render_iteration(scene: Scene, camera: Camera, cfg: RenderConfig,
                                  budget_total=cfg.gather_photon_budget,
                                  check_normal=False,
                                  u_stride=s_vg.next1())
+        sel_ok = hp.vol_w > 0.0
+        inv_pick = jnp.where(
+            sel_ok, hp.vol_wsum / jnp.maximum(hp.vol_w, 1e-30), 0.0)
         volumetric = volumetric_radiance_estimate(
             scene.medium, vpow, vol_radius, hp.vol_len, hp.vol_t,
-            cfg.photons_per_iteration)
-        volumetric = jnp.where((hp.vol_len > 0)[:, None], volumetric, 0.0)
+            cfg.photons_per_iteration,
+            weight=hp.vol_atten * inv_pick[:, None])
+        volumetric = jnp.where(sel_ok[:, None], volumetric, 0.0)
 
     # 6. output
     radiance = (direct + indirect + passthrough + volumetric

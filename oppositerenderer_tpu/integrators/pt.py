@@ -25,7 +25,7 @@ from ..camera import Camera
 from ..config import RenderConfig
 from ..core.math import Array, max3
 from ..core.profiling import pass_scope
-from ..core.rng import LaneSampler, iteration_key
+from ..core.rng import LaneSampler, iteration_key, lane_key_words
 from ..scene.types import Scene
 from .common import bsdf_at_hit, nee_direct, pixel_coords, scene_epsilon
 
@@ -39,11 +39,31 @@ def render_lanes(scene: Scene, camera: Camera, cfg: RenderConfig,
     """PT radiance for arbitrary pixel lanes [n] (tile-shardable unit).
 
     ``lane_ids`` are GLOBAL lane indices (sharding-invariant RNG streams).
+
+    ``iteration`` may be a scalar (one iteration) or a [G] vector: then the
+    lanes are G equal stacked groups and group g draws the RNG streams of
+    ``iteration[g]`` — bit-identical to rendering the groups separately.
+    Stacking G independent PT iterations multiplies every traversal
+    dispatch's lane count, amortizing the BVH compaction ladder's fixed
+    tail rounds (see RenderConfig.iteration_batch).
     """
     n = px.shape[0]
     eps = scene_epsilon(scene)
-    key = iteration_key(base_key, iteration, PASS_PT)
-    s = LaneSampler(key, lane_ids, cheap=cfg.use_cheap_random)
+    its = jnp.reshape(jnp.asarray(iteration), (-1,))
+    G = its.shape[0]
+    assert n % G == 0, (n, G)
+    keys = jax.vmap(lambda it: iteration_key(base_key, it, PASS_PT))(its)
+    per_group = n // G
+
+    def sampler_at(depth_tag):
+        """LaneSampler whose lane l uses fold_in(keys[l // per_group], tag)
+        — for G=1 exactly the stream of the unbatched path."""
+        dk = jax.vmap(lambda kk: jax.random.fold_in(kk, depth_tag))(keys)
+        return LaneSampler(lane_key_words(dk, per_group), lane_ids,
+                           cheap=cfg.use_cheap_random)
+
+    s = LaneSampler(lane_key_words(keys, per_group), lane_ids,
+                    cheap=cfg.use_cheap_random)
     o, d = camera.generate_rays(px, py, s.next2(), cfg.width, cfg.height,
                                 dof_u=s.next2())
 
@@ -56,8 +76,7 @@ def render_lanes(scene: Scene, camera: Camera, cfg: RenderConfig,
     )
 
     def bounce(state, depth, coherent=False):
-        skey = LaneSampler(jax.random.fold_in(key, depth + 1), lane_ids,
-                           cheap=cfg.use_cheap_random)
+        skey = sampler_at(depth + 1)
         # dead lanes trace an EMPTY interval: the BVH root test fails
         # immediately instead of a full (lockstep-priced) traversal
         hit = intersect(scene, state["o"], state["d"],
@@ -104,16 +123,22 @@ def render_lanes(scene: Scene, camera: Camera, cfg: RenderConfig,
             radiance=radiance, active=active,
             count_emitter=res.is_specular), None
 
-    # Segment 0 is PEELED out of the scan: primary rays (and their NEE
-    # shadow rays — origins in one pixel tile, directions toward compact
-    # lights) are the coherent population the packet BVH kernel wins on
-    # (accel/pallas_bvh.py cost model). Bounce segments stay in lax.scan
-    # on the XLA wavefront: the body compiles once (compile time on TPU
-    # matters; the reference pays 60s OptiX JIT, OptixRenderer README:78).
-    state, _ = bounce(state, 0, coherent=True)
-    if cfg.pt_max_segments > 1:
+    # Segment 0 is PEELED out of the scan ONLY on BVH scenes: primary rays
+    # (and their NEE shadow rays — origins in one pixel tile, directions
+    # toward compact lights) are the coherent population the packet BVH
+    # kernel wins on (accel/pallas_bvh.py cost model). Without a BVH the
+    # coherent flag is a no-op, so the peel would only duplicate the
+    # bounce body in the executable — measured as a large share of the
+    # dense-scene cold compile (round-5; the reference pays 60s OptiX
+    # JIT either way, README.md:78). Identical numerics both ways.
+    if scene.bvh is not None:
+        state, _ = bounce(state, 0, coherent=True)
+        if cfg.pt_max_segments > 1:
+            state, _ = jax.lax.scan(bounce, state,
+                                    jnp.arange(1, cfg.pt_max_segments))
+    else:
         state, _ = jax.lax.scan(bounce, state,
-                                jnp.arange(1, cfg.pt_max_segments))
+                                jnp.arange(0, cfg.pt_max_segments))
     return state["radiance"]
 
 
@@ -127,3 +152,24 @@ def render_iteration(scene: Scene, camera: Camera, cfg: RenderConfig,
         radiance = render_lanes(scene, camera, cfg, iteration, base_key,
                                 px, py, lane_ids)
     return radiance.reshape(H, W, 3)
+
+
+def render_iteration_batch(scene: Scene, camera: Camera, cfg: RenderConfig,
+                           iterations: Array, base_key: Array) -> Array:
+    """G full-frame PT iterations in ONE stacked wavefront -> SUMMED
+    radiance [H, W, 3] (the film accumulates sums, Output.cu:32-37).
+
+    Bit-identical per iteration to :func:`render_iteration` (same per-lane
+    RNG streams); only the dispatch granularity changes — G x W x H lanes
+    per traversal instead of W x H, amortizing ladder tails and dispatch
+    overheads on BVH scenes (RenderConfig.iteration_batch)."""
+    W, H = cfg.width, cfg.height
+    G = iterations.shape[0]
+    px, py = pixel_coords(W, H)
+    px = jnp.tile(px, G)
+    py = jnp.tile(py, G)
+    lane_ids = jnp.tile(jnp.arange(W * H, dtype=jnp.int32), G)
+    with pass_scope("pt_raytrace_pass_batched"):
+        radiance = render_lanes(scene, camera, cfg, iterations, base_key,
+                                px, py, lane_ids)
+    return jnp.sum(radiance.reshape(G, H, W, 3), axis=0)

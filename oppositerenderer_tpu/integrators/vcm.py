@@ -412,8 +412,29 @@ def _merge_vertices(scene: Scene, cfg: RenderConfig, cam_bsdf: BSDF,
     deviation), normalized by 1/(pi r^2 nLightPaths) like
     OptixRenderer.cpp:300's vmNormalization.
     Returns the merged contribution [n,3] (already multiplied by cam_thr).
+
+    Fast path: on the pallas backend the merge routes to the tile-shared
+    kernel (accel/pallas_vm.merge_vertices_tiled — cell-sorted queries,
+    per-tile interval DMA, in-kernel BSDF+MIS math), the round-5 repair of
+    the 22-36x VM cost (PERF_NOTES round-4 table). ``u_stride`` [n] drives
+    either path's unbiased subsampling.
     """
+    from ..accel.pallas_gather import ROWS as _TG_ROWS, TILE as _TG_TILE
     from ..photon_map import gather_cell_indices, gaussian_kernel_weight
+
+    n = cam_pos.shape[0]
+    use_pallas = cfg.vcm_vm_use_pallas
+    if use_pallas is None:
+        use_pallas = scene.backend == "pallas" and n % _TG_TILE == 0
+    if use_pallas and n % _TG_TILE == 0:
+        import jax as _jax
+
+        from ..accel.pallas_vm import merge_vertices_tiled
+        u_rows = u_stride.reshape(n // _TG_TILE, _TG_TILE)[:, :_TG_ROWS + 2]
+        return merge_vertices_tiled(
+            vgrid, cfg, cam_bsdf, cam_pos, cam_thr, cam_dVCM, cam_dVM,
+            active, radius_sq, mis_vc_w, n_light_paths, u_rows, depth1,
+            interpret=_jax.default_backend() != "tpu")
 
     radius = jnp.sqrt(radius_sq)
     gidx, gok, stride, _total = gather_cell_indices(
@@ -661,13 +682,21 @@ def trace_camera_pass(scene: Scene, camera: Camera, cfg: RenderConfig,
             force_cont_prob=cfg.vcm_force_continuation_prob)
         return (o, d, throughput, dVCM, dVC, dVM, alive, color), None
 
-    # first camera segment peeled: primary rays are the coherent
-    # population the packet BVH kernel wins on (accel/pallas_bvh.py)
+    # first camera segment peeled ONLY on BVH scenes: primary rays are the
+    # coherent population the packet BVH kernel wins on (accel/
+    # pallas_bvh.py); without a BVH the peel just duplicates the camera
+    # body in the executable (cold-compile cost, round-5)
     carry = (o, d, throughput, dVCM, dVC, dVM, alive, color)
-    carry, _ = camera_step(carry, 1, coherent=True)
-    if cfg.vcm_max_path_length > 1:
-        carry, _ = jax.lax.scan(camera_step, carry,
-                                jnp.arange(2, cfg.vcm_max_path_length + 1))
+    if scene.bvh is not None:
+        carry, _ = camera_step(carry, 1, coherent=True)
+        if cfg.vcm_max_path_length > 1:
+            carry, _ = jax.lax.scan(
+                camera_step, carry,
+                jnp.arange(2, cfg.vcm_max_path_length + 1))
+    else:
+        carry, _ = jax.lax.scan(
+            camera_step, carry,
+            jnp.arange(1, cfg.vcm_max_path_length + 1))
     return carry[-1]
 
 

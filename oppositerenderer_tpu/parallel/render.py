@@ -216,10 +216,17 @@ def _ppm_shard(scene, camera, cfg, it, key, radius_sq, eps, px_s, py_s,
                 max_cells_per_axis=4,
                 budget_total=cfg.gather_photon_budget,
                 check_normal=False, u_stride=s_vg.next1())
+        # reservoir reweight, mirroring integrators/ppm.render_iteration:
+        # the eye walk picks ONE in-medium segment with prob vol_w /
+        # vol_wsum and the estimate carries atten * wsum / w
+        sel_ok = hp.vol_w > 0.0
+        inv_pick = jnp.where(
+            sel_ok, hp.vol_wsum / jnp.maximum(hp.vol_w, 1e-30), 0.0)
         volumetric = volumetric_radiance_estimate(
             scene.medium, vpow, vol_radius, hp.vol_len, hp.vol_t,
-            cfg.photons_per_iteration)
-        volumetric = jnp.where((hp.vol_len > 0)[:, None], volumetric, 0.0)
+            cfg.photons_per_iteration,
+            weight=hp.vol_atten * inv_pick[:, None])
+        volumetric = jnp.where(sel_ok[:, None], volumetric, 0.0)
 
     rad = direct + indirect + hp.radiance + volumetric
     stats = {k: jax.lax.psum(jnp.sum(v), TILE_AXIS)

@@ -185,6 +185,89 @@ class Renderer:
         self._compiled[cache_key] = fn
         return fn
 
+    def _batch_G(self) -> int:
+        """Stacked-iteration batch width (RenderConfig.iteration_batch):
+        PT only — PPM/VCM iterations carry per-iteration photon maps /
+        vertex stores whose memory would scale with G."""
+        if self.cfg.render_method == RenderMethod.PATH_TRACING:
+            return max(1, self.cfg.iteration_batch)
+        return 1
+
+    def _multi_batch_fn(self, G: int):
+        """Jitted fused step rendering ``n_groups`` STACKED groups of G PT
+        iterations: (camera, start_iteration, key, n_groups, stride) ->
+        (radiance_sum, stats). Group k covers iterations
+        start + (k*G + j)*stride, j < G — the same iteration set the
+        unbatched fused fn would render, in G x wider traversal
+        dispatches (see integrators/pt.render_iteration_batch)."""
+        cache_key = ("multi_batch", self.cfg, G)
+        if cache_key in self._compiled:
+            return self._compiled[cache_key]
+        from .integrators import pt
+        scene = self._scene_for_trace()
+        cfg = self.cfg
+        H, W = cfg.height, cfg.width
+
+        def fused(camera, start_iteration, key, n_groups, stride):
+            def body(k, acc):
+                base = start_iteration + k * G * stride
+                its = base + jnp.arange(G, dtype=jnp.int32) * stride
+                rad = pt.render_iteration_batch(scene, camera, cfg, its,
+                                                key)
+                return acc + jnp.where(jnp.isfinite(rad), rad, 0.0)
+
+            acc = jax.lax.fori_loop(
+                0, n_groups, body, jnp.zeros((H, W, 3), jnp.float32))
+            return acc, {}
+
+        fn = jax.jit(fused)
+        self._compiled[cache_key] = fn
+        return fn
+
+    def _render_batched(self, iterations: int, G: int) -> Film:
+        """render() body for iteration_batch G > 1: full groups of G go
+        through the stacked executable; a remainder (iterations % G) falls
+        back to the sequential fused path (compiled lazily only if one
+        occurs — benches pick iterations % G == 0)."""
+        chunk = max(G, self.cfg.iterations_per_dispatch)
+        sync = not self.cfg.async_dispatch
+        budget = self.cfg.dispatch_seconds_budget
+        t_all = time.perf_counter()
+        done = 0
+        while done + G <= iterations:
+            max_groups = max(1, min(chunk, iterations - done) // G)
+            n_groups = max_groups
+            if budget > 0:
+                est = self._iter_seconds_estimate
+                n_groups = 1 if est is None else max(1, min(
+                    max_groups, int(budget / max(est * G, 1e-9))))
+            was_compiled = ("multi_batch", self.cfg, G) in self._compiled
+            t0 = time.perf_counter()
+            rad_sum, stats = self._multi_batch_fn(G)(
+                self.camera, jnp.int32(self.iteration), self.root_key,
+                jnp.int32(n_groups), jnp.int32(1))
+            n_it = n_groups * G
+            self.film = self.film.add_iterations(rad_sum, n_it)
+            if sync:
+                self.film.accum.block_until_ready()
+            dt = time.perf_counter() - t0
+            if sync and was_compiled:
+                self._iter_seconds_estimate = dt / n_it
+            self.iteration += n_it
+            done += n_it
+            self.metrics = dict(
+                iteration=self.iteration,
+                iteration_seconds=dt / n_it,
+                iteration_batch=G,
+                **{k: float(v) for k, v in stats.items()})
+        if done < iterations:     # remainder < G: sequential fused path
+            self._render_chunk_sync(iterations - done)
+        if not sync:
+            self.film.accum.block_until_ready()
+            self.metrics["iteration_seconds"] = (
+                (time.perf_counter() - t_all) / max(1, iterations))
+        return self.film
+
     def compute_iteration(self, iteration: int):
         """Radiance + stats for one specific GLOBAL iteration number without
         touching the film — the unit of work a distributed worker renders
@@ -264,6 +347,9 @@ class Renderer:
         request window (RenderServerConnection.cpp:37-48). One block at
         the end materializes the film; per-chunk metrics then report
         dispatch time, not device time."""
+        G = self._batch_G()
+        if G > 1:
+            return self._render_batched(iterations, G)
         chunk = max(1, self.cfg.iterations_per_dispatch)
         sync = not self.cfg.async_dispatch
         budget = self.cfg.dispatch_seconds_budget

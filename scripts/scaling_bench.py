@@ -66,43 +66,54 @@ def main():
     ap.add_argument("--nproc", type=int, default=2)
     ap.add_argument("--iters", type=int, default=16)
     ap.add_argument("--size", type=int, default=64)
-    ap.add_argument("--method", default="pt")
+    ap.add_argument("--method", default="pt",
+                    help="comma list, e.g. pt,ppm (round-5 verdict item 7:"
+                         " the 2-process PPM case)")
     args = ap.parse_args()
 
-    t1, z1 = run_farm(1, args.iters, args.size, args.method)
-    tn, zn = run_farm(args.nproc, args.iters, args.size, args.method)
-    speedup = t1 / tn
-    eff = speedup / args.nproc
-    merge_s = float(zn["merge_seconds"])
-    result = {
-        "method": args.method, "iterations": args.iters,
-        "resolution": f"{args.size}x{args.size}",
-        "seconds_1proc": round(t1, 3),
-        f"seconds_{args.nproc}proc": round(tn, 3),
-        "speedup": round(speedup, 3),
-        "scaling_efficiency": round(eff, 4),
-        "merge_seconds": round(merge_s, 3),
-        "protocol_overhead_fraction": round(merge_s / tn, 4),
-        "backend": "cpu (localhost DCN via jax.distributed)",
-        "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
-    }
-    (REPO / "scaling.json").write_text(json.dumps(result, indent=2) + "\n")
+    results = []
+    for method in args.method.split(","):
+        iters = args.iters if method == "pt" else max(4, args.iters // 2)
+        t1, _z1 = run_farm(1, iters, args.size, method)
+        tn, zn = run_farm(args.nproc, iters, args.size, method)
+        merge_s = float(zn["merge_seconds"])
+        results.append({
+            "method": method, "iterations": iters,
+            "resolution": f"{args.size}x{args.size}",
+            "seconds_1proc": round(t1, 3),
+            f"seconds_{args.nproc}proc": round(tn, 3),
+            "speedup": round(t1 / tn, 3),
+            "scaling_efficiency": round(t1 / tn / args.nproc, 4),
+            "merge_seconds": round(merge_s, 3),
+            "protocol_overhead_fraction": round(merge_s / tn, 4),
+            "backend": "cpu (localhost DCN via jax.distributed)",
+            "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
+        })
+        print(json.dumps(results[-1]), flush=True)
+    (REPO / "scaling.json").write_text(
+        json.dumps(results if len(results) > 1 else results[0], indent=2)
+        + "\n")
+    rows = "\n".join(
+        f"| {r['method']} | {r['resolution']} / {r['iterations']} it | "
+        f"{r['seconds_1proc']} s | {r[f'seconds_{args.nproc}proc']} s | "
+        f"{r['speedup']}x | {r['scaling_efficiency'] * 100:.1f}% | "
+        f"{r['merge_seconds'] * 1e3:.0f} ms |"
+        for r in results)
     (REPO / "SCALING.md").write_text(f"""# Multi-process scaling
 
 Iteration-sharded rendering over real `jax.distributed` processes
 (localhost coordinator, one CPU device per process — the in-environment
 stand-in for multi-host TPU; see tests/test_multiprocess.py for the
-correctness assert, parallel/distributed.py for the design).
+correctness assert, parallel/distributed.py for the design). PPM shares
+the same iteration-sharding protocol because the Knaus-Zwicker radius is
+a pure function of the iteration number (renderer.py), so per-iteration
+frames merge order-free — the property the reference's distributed PPM
+relies on (DistributedApplication.cpp:101-113).
 
-| metric | value |
-|---|---|
-| method / size / iterations | {args.method} / {args.size}^2 / {args.iters} |
-| 1-process wall time | {t1:.3f} s |
-| {args.nproc}-process wall time | {tn:.3f} s |
-| speedup | {speedup:.3f}x |
-| scaling efficiency | {eff * 100:.1f}% |
-| cross-process merge (one DCN all-reduce) | {merge_s * 1e3:.0f} ms \
-({merge_s / tn * 100:.1f}% of the job) |
+| method | job | 1-proc | {args.nproc}-proc | speedup | efficiency \
+| merge |
+|---|---|---|---|---|---|---|
+{rows}
 
 Each worker (and the 1-process baseline) is pinned to a single core via
 taskset so per-worker hardware is identical across runs. Compile time is
@@ -111,16 +122,18 @@ the exact fused-dispatch and merge code paths before the timed region,
 like the reference excludes its 60 s OptiX JIT (README.md:78), and the
 workers barrier before starting the clock.
 
-The protocol cost itself — one film all-reduce at the end — is
-{merge_s * 1e3:.0f} ms here; the residual efficiency gap is this box
-having exactly {os.cpu_count()} cores, so the N-process run leaves no
-spare core for the coordinator/XLA service threads that the 1-process
-baseline absorbs for free. On real multi-host TPU (one set of cores per
-host) that contention term vanishes and the protocol term is what scales.
+The protocol cost itself — one film all-reduce at the end — is the
+"merge" column; the residual efficiency gap is this box having exactly
+{os.cpu_count()} cores, so the N-process run leaves no spare core for
+the coordinator/XLA service threads that the 1-process baseline absorbs
+for free. On real multi-host TPU (one set of cores per host) that
+contention term vanishes and the protocol term is what scales.
+Intra-iteration sharding (tiles/photons/subpaths WITHIN one iteration
+over the virtual device mesh) is measured separately —
+scripts/sharded_phase_bench.py, PERF_NOTES round-5 table.
 Reproduce: `python scripts/scaling_bench.py --nproc {args.nproc} --iters
-{args.iters} --size {args.size}`.
+{args.iters} --size {args.size} --method {args.method}`.
 """)
-    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -25,12 +25,13 @@ def main():
         f = arg.split(",")
         configs.append((f[0], f[1] == "1", f[2] == "1",
                         int(f[3]) if len(f) > 3 else 8,
-                        int(f[4]) if len(f) > 4 else 4096))
+                        int(f[4]) if len(f) > 4 else 4096,
+                        int(f[5]) if len(f) > 5 else 8))   # arity
     if not configs:
-        configs = [("greedy", False, False, 8, 4096),  # round-4 baseline
-                   ("sah", False, False, 8, 4096),     # +DP collapse
-                   ("sah", True, False, 8, 4096),      # +hybrid code stack
-                   ("sah", True, True, 8, 4096)]       # +ladder flush
+        configs = [("greedy", False, False, 8, 4096, 8),  # round-4 baseline
+                   ("sah", False, False, 8, 4096, 8),     # +DP collapse
+                   ("sah", True, False, 8, 4096, 8),      # +hybrid stack
+                   ("sah", True, True, 8, 4096, 8)]       # +ladder flush
 
     # re-permuting an already-permuted scene is fine; each config builds
     # its own tree from the same triangle soup
@@ -49,13 +50,13 @@ def main():
     tmax = jnp.full((n,), 1e30)
 
     ref = None
-    for coll, cs, fl, div, lm in configs:
+    for coll, cs, fl, div, lm, A in configs:
         B._CODE_STACK = cs
         B._FLUSH_AT_LADDER = fl
         B._LADDER_DIV = div
         B.LADDER_MIN = lm
         t0 = time.perf_counter()
-        scene, bvh = B.build_scene_bvh(scene0, collapse=coll)
+        scene, bvh = B.build_scene_bvh(scene0, collapse=coll, arity=A)
         bt = time.perf_counter() - t0
         geom = scene.geometry
         f = jax.jit(lambda o, d: B.traverse(bvh, geom, o, d, tmin, tmax))
@@ -79,7 +80,8 @@ def main():
             eq = ("t==" if np.allclose(ref[1], t_np, rtol=1e-5, atol=1e-5)
                   else "t DIFFERS")
         print(f"collapse={coll:6s} code_stack={int(cs)} flush_ladder="
-              f"{int(fl)} div={div} lmin={lm} stack={bvh.max_stack:2d} "
+              f"{int(fl)} div={div} lmin={lm} arity={A:2d} "
+              f"stack={bvh.max_stack:2d} "
               f"build={bt:4.1f}s compile={ct:5.1f}s  {ms:7.1f} ms/M  "
               f"[{eq}]", flush=True)
 
