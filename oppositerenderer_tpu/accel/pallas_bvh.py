@@ -275,7 +275,7 @@ def _packet_traverse_impl(bvh, o, d, tmin, tmax, any_hit, interpret):
         kern,
         grid=(G,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 3, 8, 128), lambda g: (g, 0, 0, 0)),
             pl.BlockSpec((1, 3, 8, 128), lambda g: (g, 0, 0, 0)),
             pl.BlockSpec((1, 1, 8, 128), lambda g: (g, 0, 0, 0)),

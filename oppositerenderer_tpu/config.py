@@ -72,6 +72,27 @@ class RenderConfig:
     photons_per_iteration: int = 1 << 20          # 1024x1024 launch
     max_photon_deposits_per_emitted: int = 4      # MAX_PHOTONS_DEPOSITS_PER_EMITTED
     photon_grid_resolution: int = 100             # PHOTON_GRID_MAX_SIZE per axis
+    # Photon-grid sort form. The hot co-sort (payload moved IN lax.sort)
+    # runs 66 ms/iter faster than argsort+row-gather but costs ~87 s of
+    # XLA:TPU compile vs ~19 s (sort_rows_by_key docstring). "auto"
+    # (default) = TIERED: the first executable compiles with argsort
+    # (time-to-first-frame ~56 s, under the reference's 60 s OptiX-JIT
+    # bar, README.md:78) while the co-sort executable compiles on a
+    # background thread and swaps in when ready (Renderer._multi_step_fn).
+    # Both sorts are stable -> bit-identical grids, so the swap is
+    # invisible. "cosort"/"argsort" pin one form.
+    photon_grid_sort: str = "auto"
+    # Peel of the coherent first segment (packet BVH kernel route) out of
+    # the bounce scan on BVH scenes. The peel duplicates the whole bounce
+    # body in the executable (one scan copy + one inline copy), a large
+    # share of BVH-scene cold compile. "auto" = tiered like
+    # photon_grid_sort: first executable compiles UNPEELED (fast compile,
+    # wavefront primaries), the peeled throughput executable lands from a
+    # background thread. "on"/"off" pin it. Tier mixing is
+    # estimator-invisible (every iteration is an unbiased estimate) but
+    # not bit-identical — peeled/unpeeled differ in last-ulp fp that can
+    # flip rare RR decisions.
+    coherent_peel: str = "auto"
     photon_map_structure: PhotonMapStructure = PhotonMapStructure.SORTED_UNIFORM_GRID
     stochastic_hash_size_log2: int = 22           # 4M-entry hash table fallback
     ppm_alpha: float = 2.0 / 3.0                  # Knaus-Zwicker alpha
@@ -220,6 +241,13 @@ class RenderConfig:
             if getattr(self, field) < 0:
                 raise ValueError(f"RenderConfig.{field} must be >= 0, got "
                                  f"{getattr(self, field)}")
+        if self.photon_grid_sort not in ("auto", "cosort", "argsort"):
+            raise ValueError("RenderConfig.photon_grid_sort must be "
+                             f"auto|cosort|argsort, got "
+                             f"{self.photon_grid_sort!r}")
+        if self.coherent_peel not in ("auto", "on", "off"):
+            raise ValueError("RenderConfig.coherent_peel must be "
+                             f"auto|on|off, got {self.coherent_peel!r}")
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

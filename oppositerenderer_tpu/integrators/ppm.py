@@ -206,7 +206,7 @@ def trace_eye_pass(scene: Scene, camera: Camera, cfg: RenderConfig,
     # the packet BVH kernel on the pallas backend (coherent population —
     # accel/pallas_bvh.py); without a BVH the peel would just duplicate
     # the eye body in the executable (cold-compile cost, round-5).
-    if scene.bvh is not None:
+    if scene.bvh is not None and cfg.coherent_peel != "off":
         carry, _ = eye_step((hp, o, d, walking, inside), 0, coherent=True)
         if cfg.max_radiance_trace_depth > 1:
             carry, _ = jax.lax.scan(
@@ -429,11 +429,16 @@ def render_iteration(scene: Scene, camera: Camera, cfg: RenderConfig,
             scene, cfg, photon_key, eps, photon_lanes)
 
     # 4. indirect estimation at hitpoints
+    # "auto" reaching the integrator directly (no Renderer tiering) means
+    # the throughput form; the Renderer resolves auto into tiers
+    sort_form = ("argsort" if cfg.photon_grid_sort == "argsort"
+                 else "cosort")
     if cfg.photon_map_structure == PhotonMapStructure.SORTED_UNIFORM_GRID:
         with pass_scope("ppm_grid_build"):
             grid = build_photon_grid(
                 photons, cfg.photon_grid_resolution,
-                min_cell_size=min_cell_size_for_window(radius, 4))
+                min_cell_size=min_cell_size_for_window(radius, 4),
+                sort_form=sort_form)
         s_gather = LaneSampler(jax.random.fold_in(est_key, 55), pixel_lanes,
                                cheap=cfg.use_cheap_random)
         from ..accel.pallas_gather import (BLOCK as _TG_BLOCK,
@@ -512,7 +517,8 @@ def render_iteration(scene: Scene, camera: Camera, cfg: RenderConfig,
         vol_radius = radius * 3.0   # volume density needs a larger support
         vgrid = build_photon_grid(
             vol_photons, cfg.photon_grid_resolution,
-            min_cell_size=min_cell_size_for_window(vol_radius, 4))
+            min_cell_size=min_cell_size_for_window(vol_radius, 4),
+            sort_form=sort_form)
         s_vg = LaneSampler(jax.random.fold_in(est_key, 56), pixel_lanes,
                            cheap=cfg.use_cheap_random)
         vpow, _ = gather_photons(vgrid, hp.vol_point, hp.ns, vol_radius,

@@ -131,7 +131,7 @@ def render_lanes(scene: Scene, camera: Camera, cfg: RenderConfig,
     # bounce body in the executable — measured as a large share of the
     # dense-scene cold compile (round-5; the reference pays 60s OptiX
     # JIT either way, README.md:78). Identical numerics both ways.
-    if scene.bvh is not None:
+    if scene.bvh is not None and cfg.coherent_peel != "off":
         state, _ = bounce(state, 0, coherent=True)
         if cfg.pt_max_segments > 1:
             state, _ = jax.lax.scan(bounce, state,

@@ -687,7 +687,7 @@ def trace_camera_pass(scene: Scene, camera: Camera, cfg: RenderConfig,
     # pallas_bvh.py); without a BVH the peel just duplicates the camera
     # body in the executable (cold-compile cost, round-5)
     carry = (o, d, throughput, dVCM, dVC, dVM, alive, color)
-    if scene.bvh is not None:
+    if scene.bvh is not None and cfg.coherent_peel != "off":
         carry, _ = camera_step(carry, 1, coherent=True)
         if cfg.vcm_max_path_length > 1:
             carry, _ = jax.lax.scan(

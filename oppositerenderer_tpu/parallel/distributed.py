@@ -237,6 +237,9 @@ class MultiHostRenderer:
         self.render_iterations(tuple(range(self.process_index,
                                            self.process_count * 2,
                                            self.process_count)))
+        # tiered compile: let the background throughput executable land so
+        # the timed region measures steady state (Renderer tiering)
+        self._renderer.wait_for_compile_upgrade()
         np.asarray(self.merged_film().accum)
         self.reset()
 

@@ -120,7 +120,8 @@ def photon_grid_geometry(photons: PhotonBatch, resolution: int,
 def build_photon_grid(photons: PhotonBatch, resolution: int,
                       min_cell_size: Array | None = None,
                       origin: Array | None = None,
-                      cell_size: Array | None = None) -> PhotonGrid:
+                      cell_size: Array | None = None,
+                      sort_form: str = "cosort") -> PhotonGrid:
     """createUniformGridPhotonMap (OptixRenderer_SpatialHash.cu:209-283).
 
     ``min_cell_size`` (traced ok) floors the cell size — pass
@@ -145,15 +146,26 @@ def build_photon_grid(photons: PhotonBatch, resolution: int,
 
     # co-sort: the payload moves IN the sort (argsort + row gather costs
     # +66 ms runtime per 4M build; the co-sort's compile cost is the
-    # documented trade — sort_rows_by_key docstring, PERF_NOTES)
+    # documented trade — sort_rows_by_key docstring, PERF_NOTES).
+    # ``sort_form`` selects the compile-cheap argsort form for the tiered
+    # first executable (RenderConfig.photon_grid_sort); both lax.sort
+    # forms are stable, so the grids are bit-identical.
     pw, dr = photons.power, photons.direction
-    cells_sorted, cols = sort_rows_by_key(
-        cells, jnp.concatenate([p, pw, dr], axis=1))       # [P,9]
+    payload = jnp.concatenate([p, pw, dr], axis=1)         # [P,9]
+    if sort_form == "argsort":
+        cells_sorted, order = jax.lax.sort(
+            (cells, jnp.arange(p.shape[0], dtype=jnp.int32)), num_keys=1)
+        cols = payload[order]
+    else:
+        cells_sorted, cols = sort_rows_by_key(cells, payload)
     # method="sort": one extra vectorized sort instead of the default
-    # per-query binary-search while-loop (300 ms -> ~sort cost on v5e)
+    # per-query binary-search while-loop (300 ms -> ~sort cost on v5e).
+    # The compile-cheap tier keeps the binary search — the offsets sort
+    # is another large-sort compile the first executable can skip.
     offsets = jnp.searchsorted(cells_sorted,
                                jnp.arange(n_cells + 1, dtype=cells.dtype),
-                               method="sort")
+                               method=("scan" if sort_form == "argsort"
+                                       else "sort"))
     return PhotonGrid(
         position=cols[:, 0:3],
         power=cols[:, 3:6],

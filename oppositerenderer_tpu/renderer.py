@@ -68,6 +68,7 @@ class Renderer:
                 ppm_initial_radius = cfg.ppm_initial_radius
         self.ppm_initial_radius = float(ppm_initial_radius)
         self._compiled: dict[Any, Any] = {}
+        self._tier0_fallback: dict[Any, Any] = {}
         self._iter_seconds_estimate: float | None = None
         self.restart()
 
@@ -102,11 +103,59 @@ class Renderer:
             use_pallas = jax.default_backend() == "tpu"
         return self.scene.with_backend("pallas" if use_pallas else "jnp")
 
-    def _raw_step(self):
+    def _compile_tier_cfgs(self):
+        """(first_cfg, upgrade_cfg | None) — TIERED compile resolution.
+
+        Time-to-first-frame is a product requirement (the reference's
+        complained-about bar is its 60 s OptiX JIT, README.md:78); the
+        fastest executables cost minutes of XLA compile. "auto" settings
+        resolve to a cheap-compile first executable plus a background
+        thread compiling the throughput one (swapped in mid-render):
+
+        * photon_grid_sort: argsort+binary-search offsets first (19 s vs
+          87 s), co-sort upgrade; stable sorts -> bit-identical.
+        * use_pallas_gather (PPM, auto): XLA budget gather first (4 s vs
+          13 s Mosaic), tile-kernel upgrade; same estimator family.
+        * coherent_peel (BVH scenes, auto): unpeeled bounce scan first
+          (halves the pass-body compile), peeled packet-kernel upgrade;
+          estimator-invisible, not bit-identical (config.py note).
+        """
+        cfg = self.cfg
+        tier0, tier1 = cfg, cfg
+        changed = False
+        # PPM tier guard: at flagship frames (> 512^2) the tier-0 XLA
+        # budget gather both RUNS slowly (1M queries x 256 rows ~ 12 s/
+        # iter) and COMPILES slowly (measured 219 s at Atrium 1024^2 —
+        # worse than the throughput graph it was supposed to front-run),
+        # so the tier only applies at interactive sizes.
+        if (cfg.photon_grid_sort == "auto" and cfg.render_method
+                == RenderMethod.PROGRESSIVE_PHOTON_MAPPING
+                and cfg.n_pixels <= (1 << 18)):
+            tier0 = tier0.replace(photon_grid_sort="argsort")
+            tier1 = tier1.replace(photon_grid_sort="cosort")
+            if cfg.use_pallas_gather is None:
+                tier0 = tier0.replace(use_pallas_gather=False)
+            changed = True
+        # Peel-tier guard, flagship frames (> 512^2): the UNPEELED VCM
+        # camera pass at 1M pixels makes XLA:TPU materialize the light-
+        # vertex store in a (8,128)-tiled [n,9,3] layout — 8 GB per copy,
+        # measured compile OOM at Atrium 1024^2 (round 5) — and unpeeled
+        # flagship graphs measured SLOWER to compile anyway (VCM 248 s vs
+        # 203 s peeled). Big frames keep the peel; the _dispatch_multi
+        # fallback catches any other tier-0 blow-up by pinning tier 1.
+        big = cfg.n_pixels > (1 << 18)
+        if (cfg.coherent_peel == "auto" and self.scene.bvh is not None
+                and not big):
+            tier0 = tier0.replace(coherent_peel="off")
+            tier1 = tier1.replace(coherent_peel="on")
+            changed = True
+        return tier0, (tier1 if changed else None)
+
+    def _raw_step(self, cfg=None):
         """(camera, iteration, key, radius_sq) -> (radiance [H,W,3], stats)
         for the configured method — the un-jitted single-iteration body."""
         scene = self._scene_for_trace()
-        cfg = self.cfg
+        cfg = self.cfg if cfg is None else cfg
         method = cfg.render_method
         if method == RenderMethod.PATH_TRACING:
             from .integrators import pt
@@ -131,10 +180,12 @@ class Renderer:
         return step
 
     def _step_fn(self):
-        """Build + cache the jitted per-iteration render step."""
+        """Build + cache the jitted per-iteration render step (always the
+        compile-cheap tier — compute_iteration is not the hot loop)."""
         cache_key = ("single", self.cfg)
         if cache_key not in self._compiled:
-            self._compiled[cache_key] = jax.jit(self._raw_step())
+            cfg0, _ = self._compile_tier_cfgs()
+            self._compiled[cache_key] = jax.jit(self._raw_step(cfg0))
         return self._compiled[cache_key]
 
     def _multi_step_fn(self):
@@ -155,10 +206,37 @@ class Renderer:
         cache_key = ("multi", self.cfg)
         if cache_key in self._compiled:
             return self._compiled[cache_key]
-        step = self._raw_step()
-        H, W = self.cfg.height, self.cfg.width
+        cfg0, cfg1 = self._compile_tier_cfgs()
+        fn = jax.jit(self._build_fused(cfg0))
+        self._compiled[cache_key] = fn
+        if cfg1 is not None:
+            self._tier0_fallback[cache_key] = cfg1
+            self._spawn_compile_upgrade(cache_key, cfg1)
+        return fn
+
+    def _dispatch_multi(self, *args):
+        """Call the fused multi-iteration executable; if a tier-0
+        cheap-compile variant fails at compile/run time (e.g. a
+        pathological XLA layout on some shape), pin the throughput tier
+        synchronously and retry once."""
+        cache_key = ("multi", self.cfg)
+        fn = self._multi_step_fn()
+        try:
+            return fn(*args)
+        except Exception:
+            cfg1 = self._tier0_fallback.pop(cache_key, None)
+            if cfg1 is None:
+                raise
+            fn = jax.jit(self._build_fused(cfg1))
+            self._compiled[cache_key] = fn
+            return fn(*args)
+
+    def _build_fused(self, cfg):
+        """The fused multi-iteration body for one resolved config tier."""
+        step = self._raw_step(cfg)
+        H, W = cfg.height, cfg.width
         r0 = self.ppm_initial_radius
-        alpha = self.cfg.ppm_alpha
+        alpha = cfg.ppm_alpha
 
         def fused(camera, start_iteration, key, n, stride):
             def body(k, carry):
@@ -181,9 +259,42 @@ class Renderer:
             acc, stats0 = jax.lax.fori_loop(1, n, body, (acc, stats0))
             return acc, stats0
 
-        fn = jax.jit(fused)
-        self._compiled[cache_key] = fn
-        return fn
+        return fused
+
+    def _spawn_compile_upgrade(self, cache_key, cfg1) -> None:
+        """Compile the throughput-tier executable on a daemon thread and
+        swap it into the dispatch cache when ready (_compile_tier_cfgs).
+        The swap is estimator-invisible (grid-sort tiers are bit-identical;
+        the peel tier differs only in last-ulp fp — every iteration is an
+        unbiased estimate either way). The AOT-compiled executable is
+        called directly, so the background compile is never repeated on
+        the main thread."""
+        import threading
+
+        fused = self._build_fused(cfg1)
+        camera, key = self.camera, self.root_key
+
+        def bg():
+            try:
+                compiled = jax.jit(fused).lower(
+                    camera, jnp.int32(0), key, jnp.int32(1),
+                    jnp.int32(1)).compile()
+                self._compiled[cache_key] = compiled
+            except Exception:     # upgrade is best-effort; tier 0 stands
+                pass
+
+        t = threading.Thread(target=bg, daemon=True,
+                             name="compile-upgrade")
+        t.start()
+        self._upgrade_thread = t
+
+    def wait_for_compile_upgrade(self, timeout: float | None = None):
+        """Block until the background throughput-tier compile (if any)
+        lands — benches call this so steady-state reps measure the
+        upgraded executable without compile contention."""
+        t = getattr(self, "_upgrade_thread", None)
+        if t is not None:
+            t.join(timeout)
 
     def _batch_G(self) -> int:
         """Stacked-iteration batch width (RenderConfig.iteration_batch):
@@ -318,7 +429,7 @@ class Renderer:
         the per-iteration time estimate."""
         was_compiled = ("multi", self.cfg) in self._compiled
         t0 = time.perf_counter()
-        rad_sum, stats = self._multi_step_fn()(
+        rad_sum, stats = self._dispatch_multi(
             self.camera, jnp.int32(self.iteration), self.root_key,
             jnp.int32(n), jnp.int32(1))
         self.film = self.film.add_iterations(rad_sum, n)
@@ -378,7 +489,7 @@ class Renderer:
                     n = min(n, max(1, int(budget / max(est, 1e-9))))
             was_compiled = ("multi", self.cfg) in self._compiled
             t0 = time.perf_counter()
-            rad_sum, stats = self._multi_step_fn()(
+            rad_sum, stats = self._dispatch_multi(
                 self.camera, jnp.int32(self.iteration), self.root_key,
                 jnp.int32(n), jnp.int32(1))
             self.film = self.film.add_iterations(rad_sum, n)

@@ -111,6 +111,9 @@ def main():
         t0 = time.perf_counter()
         r.render(1)
         compile_s = time.perf_counter() - t0
+        # let any background throughput-tier compile land so the timed
+        # iterations measure steady state (Renderer tiering)
+        r.wait_for_compile_upgrade()
         t0 = time.perf_counter()
         r.render(args.iters - 1)
         dt = time.perf_counter() - t0
