@@ -92,7 +92,12 @@ def main():
                "pt": RenderMethod.PATH_TRACING}
     art = REPO / "artifacts"
     art.mkdir(exist_ok=True)
-    report = {"asset": str(dae.relative_to(REPO)),
+    # merge into an existing record so `--methods vcm` refreshes one
+    # method without clobbering the others' entries
+    report_path = REPO / "artifacts" / f"milestone4_{args.scene.lower()}.json"
+    report = (json.loads(report_path.read_text())
+              if report_path.exists() else {})
+    report |= {"asset": str(dae.relative_to(REPO)),
               "triangles": int(scene.geometry.n_triangles),
               "resolution": f"{args.size}x{args.size}",
               "device": str(jax.devices()[0]), "load_seconds": round(load_s, 2),
